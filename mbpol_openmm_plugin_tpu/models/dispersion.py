@@ -1,0 +1,57 @@
+"""TT6-damped C6 dispersion.
+
+In the reference this term is not native code: it is an OpenMM
+CustomNonbondedForce built by the <Script> embedded in python/mbpol.xml
+(:37-108), with energy -C6*tt6/r^6 where tt6 is the order-6 Tang-Toennies
+damping function
+
+    tt6(x) = 1 - exp(-x) * sum_{k=0..6} x^k / k!,   x = d6 * r
+
+with per-class-pair (O,H,M,Cl) C6/d6 tables and exclusions for intra-residue
+pairs and any pair involving an M site (mbpol.xml:100-104). Here it is a
+first-class term: dense masked pair evaluation (the M/M-pair and Cl-Cl
+entries of the tables are zero, which — together with the explicit same-
+molecule mask — reproduces the exclusion rules exactly).
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from mbpol_openmm_plugin_tpu import data as _data
+from mbpol_openmm_plugin_tpu.system import System, minimum_image
+
+_FACT = np.array([1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0])
+
+
+def tt6(x):
+    """Order-6 Tang-Toennies damping, numerically safe at x=0."""
+    terms = x[..., None] ** np.arange(7) / _FACT
+    return 1.0 - jnp.exp(-x) * jnp.sum(terms, axis=-1)
+
+
+def dispersion_energy(system: System, positions, cutoff=None):
+    """Total dispersion energy in kJ/mol.
+
+    Args:
+      system: topology (provides atom classes, molecule ids, box).
+      positions: [natoms, 3] nm (M sites already placed; their C6 is 0).
+      cutoff: optional truncation distance in nm (plain truncation, like
+        OpenMM CustomNonbondedForce without a switching function).
+    """
+    ff = _data.load('forcefield')
+    dtype = positions.dtype
+    cls = system.atom_class
+    C6 = jnp.asarray(ff['C6'], dtype)[cls[:, None], cls[None, :]]
+    d6 = jnp.asarray(ff['d6'], dtype)[cls[:, None], cls[None, :]]
+
+    delta = positions[None, :, :] - positions[:, None, :]
+    delta = minimum_image(delta, system.box if system.periodic else None)
+    r2 = jnp.sum(delta * delta, axis=-1)
+
+    mask = system.mol_index[:, None] != system.mol_index[None, :]
+    if cutoff is not None:
+        mask = mask & (r2 < cutoff * cutoff)
+
+    r2 = jnp.where(mask, r2, 1.0)           # avoid 0/0 on the diagonal
+    r = jnp.sqrt(r2)
+    e_pair = -C6 * tt6(d6 * r) / (r2 * r2 * r2)
+    return 0.5 * jnp.sum(jnp.where(mask, e_pair, 0.0))

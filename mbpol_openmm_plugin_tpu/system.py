@@ -1,0 +1,116 @@
+"""System topology and state for the TPU MB-pol framework.
+
+A `System` holds the *static* description (index arrays, types, masses, box
+flag) as numpy arrays — these shape the jitted computations and never live on
+the accelerator as traced values. Dynamic state (positions, velocities) is a
+pytree of jnp arrays.
+
+Atom layout convention (matching the reference force-field layer,
+python/mbpol.py:310-323 and the OHHM stride-4 assumption of
+MBPolReferenceElectrostaticsForce.cpp:879-884): each water contributes four
+sites in order [O, H1, H2, M]; monatomic ions (Cl-) follow as single sites.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from mbpol_openmm_plugin_tpu import data as _data
+
+# atom class codes (order of the dispersion C6/d6 tables, mbpol.xml:45-50)
+CLASS_O, CLASS_H, CLASS_M, CLASS_CL = 0, 1, 2, 3
+
+
+@dataclasses.dataclass(frozen=True)
+class System:
+    """Static topology of a (water + optional Cl-) system."""
+    n_waters: int
+    n_ions: int
+    atom_class: np.ndarray          # [natoms] int32, CLASS_*
+    mol_index: np.ndarray           # [natoms] int32, molecule id per atom
+    masses: np.ndarray              # [natoms] float64 (amu); M sites have 0
+    o_index: np.ndarray             # [n_waters] int32
+    h1_index: np.ndarray
+    h2_index: np.ndarray
+    m_index: np.ndarray
+    ion_index: np.ndarray           # [n_ions] int32
+    box: Optional[np.ndarray]       # [3] nm box lengths (orthorhombic) or None
+
+    @property
+    def n_atoms(self):
+        return len(self.atom_class)
+
+    @property
+    def periodic(self):
+        return self.box is not None
+
+    def with_box(self, box):
+        box = None if box is None else np.asarray(box, np.float64)
+        return dataclasses.replace(self, box=box)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def waters(cls, n_waters, n_ions=0, box=None):
+        """Standard layout: n_waters x [O,H1,H2,M] then n_ions x [Cl]."""
+        ff = _data.load('forcefield')
+        base = 4 * np.arange(n_waters, dtype=np.int32)
+        atom_class = np.concatenate([
+            np.tile([CLASS_O, CLASS_H, CLASS_H, CLASS_M], n_waters),
+            np.full(n_ions, CLASS_CL)]).astype(np.int32)
+        mol_index = np.concatenate([
+            np.repeat(np.arange(n_waters), 4),
+            n_waters + np.arange(n_ions)]).astype(np.int32)
+        masses = np.concatenate([
+            np.tile([ff['mass_O'], ff['mass_H'], ff['mass_H'], ff['mass_M']], n_waters),
+            np.full(n_ions, ff['mass_Cl'])]).astype(np.float64)
+        return cls(
+            n_waters=n_waters, n_ions=n_ions,
+            atom_class=atom_class, mol_index=mol_index, masses=masses,
+            o_index=base, h1_index=base + 1, h2_index=base + 2, m_index=base + 3,
+            ion_index=(4 * n_waters + np.arange(n_ions, dtype=np.int32)),
+            box=None if box is None else np.asarray(box, np.float64))
+
+    @classmethod
+    def from_atom_names(cls, names, resnames, box=None):
+        """Build from PDB-style atom/residue name arrays (order O,H1,H2,M per
+        HOH residue, optional Cl residues)."""
+        names = [str(n) for n in names]
+        resnames = [str(r) for r in resnames]
+        n_waters = sum(1 for n, r in zip(names, resnames) if r == 'HOH' and n == 'O')
+        n_ions = sum(1 for r in resnames if r in ('Cl', 'CL', 'CL-'))
+        expected = [n for _ in range(n_waters) for n in ('O', 'H1', 'H2', 'M')]
+        got = [n for n, r in zip(names, resnames) if r == 'HOH']
+        if got != expected:
+            raise ValueError('unsupported atom ordering; expected O,H1,H2,M per water')
+        return cls.waters(n_waters, n_ions, box=box)
+
+
+def compute_virtual_sites(system: System, positions):
+    """Place each water's M site: average3 virtual site with weights
+    (w1, w2, w3) over (O, H1, H2) (mbpol.xml:14). Differentiable."""
+    ff = _data.load('forcefield')
+    w1, w2, w3 = ff['vsite_weights']
+    m_pos = (w1 * positions[system.o_index] +
+             w2 * positions[system.h1_index] +
+             w3 * positions[system.h2_index])
+    return positions.at[system.m_index].set(m_pos)
+
+
+def water_positions(system: System, positions):
+    """Gather [n_waters, 3, 3] (O,H1,H2) position blocks."""
+    idx = np.stack([system.o_index, system.h1_index, system.h2_index], axis=1)
+    return positions[idx]
+
+
+def minimum_image(delta, box):
+    """Minimum-image displacement for an orthorhombic box.
+
+    Matches the reference convention delta -= floor(delta/box + 0.5) * box
+    (MBPolReferenceElectrostaticsForce.cpp:1234-1239)."""
+    if box is None:
+        return delta
+    b = jnp.asarray(box, delta.dtype)
+    return delta - jnp.floor(delta / b + 0.5) * b

@@ -118,6 +118,63 @@ def main():
     assert dms['coefD'].shape == (84,)
     np.savez(os.path.join(args.out, 'dms.npz'), **dms)
 
+    # ------------------------------------------------------------------
+    # Force-field parameters from python/mbpol.xml: dispersion C6/d6 tables
+    # (embedded <Script>, mbpol.xml:52-83), Thole parameters (:22), per-type
+    # charge/damping/polarizability (:24-26), virtual-site weights (:14),
+    # cutoffs (:31,:34), masses (:3-6).
+    # ------------------------------------------------------------------
+    with open(os.path.join(args.reference, 'python', 'mbpol.xml')) as f:
+        xml = f.read()
+
+    def xml_table(name, n=16):
+        m = re.search(r'%s\s*=\s*\[(.*?)\]' % name, xml, re.S)
+        body = re.sub(r'#[^\n]*', '', m.group(1))
+        vals = [float(v) for v in re.findall(FLOAT_RE, body)]
+        assert len(vals) == n, (name, len(vals))
+        return np.array(vals).reshape(4, 4)
+
+    def xml_attr(attr):
+        return float(re.search(r'%s="(%s)"' % (attr, FLOAT_RE), xml).group(1))
+
+    thole_map = {}
+    for key in ['thole-charge-charge', 'thole-charge-dipole', 'thole-dipole-dipole',
+                'thole-dipole-dipole-singlebond']:
+        thole_map[key] = xml_attr(key)
+    # order TCC, TCD, TDD, TDDOH, TDDHH (mbpol.py:266: TDDHH reuses
+    # 'thole-dipole-dipole')
+    thole = np.array([thole_map['thole-charge-charge'],
+                      thole_map['thole-charge-dipole'],
+                      thole_map['thole-dipole-dipole'],
+                      thole_map['thole-dipole-dipole-singlebond'],
+                      thole_map['thole-dipole-dipole']])
+
+    def atom_params(tname):
+        m = re.search(r'<Atom type="%s" charge="(%s)" damping-factor="(%s)" '
+                      r'polarizability="(%s)"' % (tname, FLOAT_RE, FLOAT_RE, FLOAT_RE), xml)
+        return [float(m.group(i)) for i in (1, 2, 3)]
+
+    o_p, h_p, m_p = atom_params('MBPol-O'), atom_params('MBPol-H'), atom_params('MBPol-M')
+    vs = re.search(r'VirtualSite type="average3".*?weight1="(%s)" weight2="(%s)" '
+                   r'weight3="(%s)"' % (FLOAT_RE, FLOAT_RE, FLOAT_RE), xml)
+    masses = {}
+    for tname, cls in [('MBPol-O', 'O'), ('MBPol-H', 'H'), ('MBPol-M', 'M'), ('MBPol-Cl', 'CL')]:
+        m = re.search(r'<Type name="%s"[^>]*mass="(%s)"' % (tname, FLOAT_RE), xml)
+        masses[cls] = float(m.group(1))
+
+    ff = dict(
+        C6=xml_table('C6table'),            # kJ/mol nm^6, class order O,H,M,Cl
+        d6=xml_table('d6table'),            # nm^-1
+        thole=thole,
+        # per-type [charge, damping_factor, polarizability] O/H/M
+        atom_O=np.array(o_p), atom_H=np.array(h_p), atom_M=np.array(m_p),
+        vsite_weights=np.array([float(vs.group(i)) for i in (1, 2, 3)]),
+        cutoff_2b=float(re.search(r'MBPolTwoBodyForce cutoff_nm="(%s)"' % FLOAT_RE, xml).group(1)),
+        cutoff_3b=float(re.search(r'MBPolThreeBodyForce cutoff_nm="(%s)"' % FLOAT_RE, xml).group(1)),
+        mass_O=masses['O'], mass_H=masses['H'], mass_M=masses['M'], mass_Cl=masses['CL'],
+    )
+    np.savez(os.path.join(args.out, 'forcefield.npz'), **ff)
+
     print("wrote parameter archives to", args.out)
 
 
