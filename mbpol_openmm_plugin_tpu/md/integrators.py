@@ -1,0 +1,153 @@
+"""Integrators and thermostats/barostats, TPU-native.
+
+The reference delegates time stepping to OpenMM (Verlet integrator, Andersen
+thermostat as a Force, MonteCarlo barostat; SURVEY 3.4). Here the whole MD
+step is a pure function on an `MDState` pytree, so trajectories run under
+`lax.scan` entirely on device.
+
+Units: nm, ps, amu, kJ/mol (OpenMM internal). Velocities nm/ps.
+Virtual M sites carry zero mass: they are skipped in the update (their
+positions are recomputed by the potential each step, and the potential
+returns zero force rows for them after redistribution).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mbpol_openmm_plugin_tpu.system import System, compute_virtual_sites
+from mbpol_openmm_plugin_tpu.utils import units
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MDState:
+    positions: jnp.ndarray        # [natoms, 3] nm
+    velocities: jnp.ndarray       # [natoms, 3] nm/ps
+    forces: jnp.ndarray           # [natoms, 3] kJ/mol/nm (at current positions)
+    potential_energy: jnp.ndarray
+    box: jnp.ndarray              # [3] nm
+    step: jnp.ndarray             # int32
+    rng: jnp.ndarray              # PRNG key
+
+
+def _inv_masses(system: System, dtype):
+    m = np.asarray(system.masses)
+    inv = np.where(m > 0, 1.0 / np.where(m > 0, m, 1.0), 0.0)
+    return jnp.asarray(inv, dtype)[:, None]
+
+
+def kinetic_energy(system: System, velocities):
+    m = jnp.asarray(system.masses, velocities.dtype)
+    return 0.5 * jnp.sum(m[:, None] * velocities * velocities)
+
+
+def temperature(system: System, velocities):
+    """Instantaneous temperature from kinetic energy (3 dof per real atom;
+    M sites excluded)."""
+    ndof = 3 * int(np.sum(np.asarray(system.masses) > 0))
+    return 2.0 * kinetic_energy(system, velocities) / (ndof * units.BOLTZMANN_KJ_MOL_K)
+
+
+def maxwell_boltzmann_velocities(system: System, temperature_k, key, dtype=jnp.float64):
+    m = np.asarray(system.masses)
+    sigma = np.sqrt(units.BOLTZMANN_KJ_MOL_K * temperature_k /
+                    np.where(m > 0, m, 1.0))
+    sigma = np.where(m > 0, sigma, 0.0)
+    v = jax.random.normal(key, (len(m), 3), dtype) * jnp.asarray(sigma, dtype)[:, None]
+    return v
+
+
+def velocity_verlet_step(system: System, energy_forces_fn, state: MDState, dt):
+    """One velocity-Verlet step. energy_forces_fn: positions -> (E, F)."""
+    inv_m = _inv_masses(system, state.positions.dtype)
+    v_half = state.velocities + 0.5 * dt * state.forces * inv_m
+    pos = state.positions + dt * v_half
+    energy, forces = energy_forces_fn(pos)
+    v_new = v_half + 0.5 * dt * forces * inv_m
+    return dataclasses.replace(
+        state, positions=pos, velocities=v_new, forces=forces,
+        potential_energy=energy, step=state.step + 1)
+
+
+def andersen_thermostat(system: System, state: MDState, dt, temperature_k,
+                        collision_frequency):
+    """Andersen thermostat: each (real) atom's velocity is resampled from the
+    Maxwell-Boltzmann distribution with probability freq*dt per step."""
+    key, k1, k2 = jax.random.split(state.rng, 3)
+    m = np.asarray(system.masses)
+    p_collide = 1.0 - np.exp(-collision_frequency * dt)
+    hit = jax.random.uniform(k1, (len(m),)) < p_collide
+    v_new = maxwell_boltzmann_velocities(system, temperature_k, k2,
+                                         state.velocities.dtype)
+    v = jnp.where((hit & (m > 0))[:, None], v_new, state.velocities)
+    return dataclasses.replace(state, velocities=v, rng=key)
+
+
+def langevin_step(system: System, energy_forces_fn, state: MDState, dt,
+                  temperature_k, friction):
+    """BAOAB Langevin step (Leimkuhler-Matthews)."""
+    inv_m = _inv_masses(system, state.positions.dtype)
+    m = jnp.asarray(system.masses, state.positions.dtype)[:, None]
+    kT = units.BOLTZMANN_KJ_MOL_K * temperature_k
+    c1 = jnp.exp(-friction * dt)
+    c2 = jnp.sqrt((1.0 - c1 * c1) * kT)
+    key, knoise = jax.random.split(state.rng)
+
+    v = state.velocities + 0.5 * dt * state.forces * inv_m
+    pos = state.positions + 0.5 * dt * v
+    noise = jax.random.normal(knoise, v.shape, v.dtype)
+    sigma = c2 * jnp.sqrt(inv_m)
+    v = c1 * v + jnp.where(m > 0, sigma * noise, 0.0)
+    pos = pos + 0.5 * dt * v
+    energy, forces = energy_forces_fn(pos)
+    v = v + 0.5 * dt * forces * inv_m
+    return dataclasses.replace(
+        state, positions=pos, velocities=v, forces=forces,
+        potential_energy=energy, step=state.step + 1, rng=key)
+
+
+def monte_carlo_barostat_move(system: System, energy_fn, state: MDState,
+                              temperature_k, pressure_bar, scale_state):
+    """One MC volume move (OpenMM MonteCarloBarostat semantics): isotropic
+    rescale of molecule centroids, Metropolis acceptance on
+    dU + P dV - N kT ln(V'/V). Returns (state, new scale_state).
+
+    scale_state: (volume_scale_nm3,) adaptive move size.
+    """
+    kT = units.BOLTZMANN_KJ_MOL_K * temperature_k
+    # pressure in bar -> kJ/mol/nm^3: 1 bar = 0.0602214... kJ/mol/nm^3
+    p_int = pressure_bar * 0.0602214076
+    key, k1, k2 = jax.random.split(state.rng, 3)
+    vol = state.box[0] * state.box[1] * state.box[2]
+    dv = (jax.random.uniform(k1) * 2.0 - 1.0) * scale_state
+    new_vol = vol + dv
+    length_scale = (new_vol / vol) ** (1.0 / 3.0)
+
+    # rescale molecule centroids, keep intramolecular geometry rigid
+    mol = system.mol_index
+    nmol = int(mol.max()) + 1
+    m = jnp.asarray(system.masses, state.positions.dtype)
+    mw = (m[:, None] * state.positions)
+    mol_mass = jax.ops.segment_sum(m, mol, nmol)
+    centroid = jax.ops.segment_sum(mw, mol, nmol) / mol_mass[:, None]
+    shift = centroid * (length_scale - 1.0)
+    pos_new = state.positions + shift[mol]
+    box_new = state.box * length_scale
+
+    e_new = energy_fn(pos_new, box_new)
+    e_old = state.potential_energy
+    n_mol = nmol
+    w = e_new - e_old + p_int * dv - n_mol * kT * jnp.log(new_vol / vol)
+    accept = (w <= 0) | (jax.random.uniform(k2) < jnp.exp(-w / kT))
+
+    pos = jnp.where(accept, pos_new, state.positions)
+    box = jnp.where(accept, box_new, state.box)
+    e = jnp.where(accept, e_new, e_old)
+    state = dataclasses.replace(state, positions=pos, box=box,
+                                potential_energy=e, rng=key)
+    return state, accept

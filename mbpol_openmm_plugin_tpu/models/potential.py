@@ -25,7 +25,9 @@ from mbpol_openmm_plugin_tpu.models.dispersion import dispersion_energy
 from mbpol_openmm_plugin_tpu.models.one_body import one_body_energy
 from mbpol_openmm_plugin_tpu.models.three_body import three_body_energy
 from mbpol_openmm_plugin_tpu.models.two_body import two_body_energy
-from mbpol_openmm_plugin_tpu.system import System, compute_virtual_sites, water_positions
+from mbpol_openmm_plugin_tpu.ops import neighbors
+from mbpol_openmm_plugin_tpu.system import (System, compute_virtual_sites,
+                                            make_molecules_whole, water_positions)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,6 +39,10 @@ class MBPolConfig:
     """
     nonbonded_method: str = 'NoCutoff'
     cutoff: float = 0.9
+    cutoff_2b: float = 0.65          # XML cutoff_nm (mbpol.xml:31)
+    cutoff_3b: float = 0.45          # XML cutoff_nm (mbpol.xml:34)
+    use_neighbor_lists: Optional[bool] = None   # default: n_waters > 24
+    neighbor_capacity_factor: float = 1.5
     include_charge_redistribution: bool = True
     ewald_error_tolerance: float = 1e-4
     ewald_alpha: Optional[float] = None      # derived from tolerance if None
@@ -73,10 +79,34 @@ class MBPol:
             self.pme = pme_mod.PmeSetup.from_config(system, config)
         else:
             self.pme = None
+        use_nl = config.use_neighbor_lists
+        self.use_neighbor_lists = system.n_waters > 24 if use_nl is None else use_nl
+        if self.use_neighbor_lists:
+            box = system.box
+            f = config.neighbor_capacity_factor
+            self.pair_cap = neighbors.pair_capacity(system.n_waters, box,
+                                                    config.cutoff_2b, factor=f)
+            self.trip_cap = neighbors.triplet_capacity(system.n_waters, box,
+                                                       config.cutoff_3b, factor=f)
         self._energy_forces = jax.jit(self._energy_forces_impl)
 
     # ------------------------------------------------------------------
-    def _smooth_terms(self, positions):
+    def _neighbor_lists(self, positions):
+        """Padded pair/triplet lists from current O positions (rebuilt every
+        evaluation, like the reference; diag carries overflow counts)."""
+        sys_ = self.system
+        o_pos = positions[sys_.o_index]
+        box = sys_.box
+        pairs, pmask, n_p = neighbors.pair_list(o_pos, box, self.config.cutoff_2b,
+                                                self.pair_cap)
+        trips, tmask, n_t = neighbors.triplet_list(o_pos, box, self.config.cutoff_3b,
+                                                   self.trip_cap)
+        diag = dict(n_pairs=n_p, n_triplets=n_t,
+                    pair_overflow=n_p > self.pair_cap,
+                    triplet_overflow=n_t > self.trip_cap)
+        return (pairs, pmask), (trips, tmask), diag
+
+    def _smooth_terms(self, positions, nlists=None):
         """Closed-form terms (1b/2b/3b/dispersion); differentiable."""
         cfg = self.config
         sys_ = self.system
@@ -84,35 +114,46 @@ class MBPol:
         parts = {}
         if 'one_body' in cfg.terms:
             parts['one_body'] = jnp.sum(one_body_energy(water_positions(sys_, pos)))
+        pl = tl = None
+        if nlists is not None:
+            pl, tl = nlists
         if 'two_body' in cfg.terms:
-            parts['two_body'] = two_body_energy(sys_, pos)
+            parts['two_body'] = (two_body_energy(sys_, pos, pl[0], pl[1])
+                                 if pl is not None else two_body_energy(sys_, pos))
         if 'three_body' in cfg.terms:
-            parts['three_body'] = three_body_energy(sys_, pos)
+            parts['three_body'] = (three_body_energy(sys_, pos, tl[0], tl[1])
+                                   if tl is not None else three_body_energy(sys_, pos))
         if 'dispersion' in cfg.terms:
-            cut = cfg.cutoff if (sys_.periodic or cfg.nonbonded_method != 'NoCutoff') else cfg.cutoff
-            parts['dispersion'] = dispersion_energy(sys_, pos, cutoff=cut)
+            parts['dispersion'] = dispersion_energy(sys_, pos, cutoff=cfg.cutoff)
         return parts
 
     def _energy_forces_impl(self, positions):
         sys_ = self.system
+        positions = make_molecules_whole(sys_, positions)
+
+        nlists, nl_diag = (None, {})
+        if self.use_neighbor_lists:
+            pl, tl, nl_diag = self._neighbor_lists(positions)
+            nlists = (pl, tl)
 
         def smooth_total(p):
-            parts = self._smooth_terms(p)
+            parts = self._smooth_terms(p, nlists)
             total = functools.reduce(jnp.add, parts.values()) if parts \
                 else jnp.zeros((), p.dtype)
             return total, parts
 
         (e_smooth, parts), grad = jax.value_and_grad(smooth_total, has_aux=True)(positions)
         forces = -grad
-        diag = {}
+        diag = dict(nl_diag)
 
         if self.elec_params is not None:
             pos_v = compute_virtual_sites(sys_, positions)
             if self.pme is not None:
-                e_elec, f_elec, diag = pme_mod.pme_electrostatics(
+                e_elec, f_elec, ediag = pme_mod.pme_electrostatics(
                     self.elec_params, self.pme, pos_v)
             else:
-                e_elec, f_elec, diag = elec.cluster_electrostatics(self.elec_params, pos_v)
+                e_elec, f_elec, ediag = elec.cluster_electrostatics(self.elec_params, pos_v)
+            diag.update(ediag)
             parts = dict(parts, electrostatics=e_elec)
             # redistribute M-site forces to parents (average3 weights)
             ff = _data.load('forcefield')

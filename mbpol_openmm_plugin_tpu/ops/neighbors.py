@@ -1,0 +1,113 @@
+"""Jit-able neighbor machinery: padded O-O pair and triplet lists.
+
+Replaces the reference's per-call voxel-hash lists (OpenMM NeighborList for
+pairs, ReferenceThreeNeighborList for triplets) with fixed-capacity padded
+index lists built from masked distance matrices - static shapes, no host
+sync, overflow surfaced as a flag (cf. the CUDA platform's maxNeighborPairs
+re-try logic, CudaMBPolKernels.cpp:1787).
+
+Triplet semantics: MB-pol's 3-body switch s = s_ab s_ac + s_ab s_bc + s_ac s_bc
+is nonzero iff at least two of the three O-O distances are below the cutoff,
+so the correct triplet set is "all unordered triplets with >= 2 edges".
+We enumerate each exactly once via its center: candidate (center j, i < k
+both neighbors of j) is kept unless the triplet is a triangle whose smallest
+vertex is not j (keep iff no edge(i,k) or j < i).
+
+NOTE deviation from the reference: ReferenceThreeNeighborList.cpp:215-225
+enumerates strictly-descending index paths (i > j > k with edges (i,j),(j,k)),
+which *misses* two-edge triplets whose center is the largest index (e.g.
+1.28 kcal/mol of 3-body energy on the water50 fixture). That makes the
+reference's energy depend on molecule numbering; we implement the complete,
+permutation-independent set (all golden totals still pass within the
+reference's own test tolerances).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def pair_capacity(n_mol, box, cutoff, factor=1.5, floor=64):
+    """Static capacity estimate for the O-O pair list."""
+    if box is None:
+        return n_mol * (n_mol - 1) // 2
+    vol = float(np.prod(np.asarray(box)))
+    density = n_mol / vol
+    per = density * 4.0 / 3.0 * np.pi * cutoff ** 3
+    est = int(factor * n_mol * per / 2) + floor
+    return min(est, n_mol * (n_mol - 1) // 2)
+
+
+def max_neighbors(n_mol, box, cutoff, factor=2.0, floor=16):
+    if box is None:
+        return n_mol - 1
+    vol = float(np.prod(np.asarray(box)))
+    per = n_mol / vol * 4.0 / 3.0 * np.pi * cutoff ** 3
+    return min(int(factor * per) + floor, n_mol - 1)
+
+
+def triplet_capacity(n_mol, box, cutoff, factor=1.5, floor=128):
+    if box is None:
+        return n_mol * (n_mol - 1) * (n_mol - 2) // 6
+    k = max_neighbors(n_mol, box, cutoff, factor=1.0, floor=0)
+    est = int(factor * n_mol * k * max(k - 1, 1) / 2) + floor
+    return min(est, n_mol * (n_mol - 1) * (n_mol - 2) // 6)
+
+
+def _edge_matrix(o_pos, box, cutoff):
+    d = o_pos[None, :, :] - o_pos[:, None, :]
+    if box is not None:
+        b = jnp.asarray(box, o_pos.dtype)
+        d = d - jnp.floor(d / b + 0.5) * b
+    r2 = jnp.sum(d * d, axis=-1)
+    n = o_pos.shape[0]
+    return (r2 < cutoff * cutoff) & ~jnp.eye(n, dtype=bool)
+
+
+def pair_list(o_pos, box, cutoff, capacity):
+    """Padded i<j pair list.
+
+    Returns (pairs [capacity,2] int32, mask [capacity], n_found)."""
+    n = o_pos.shape[0]
+    edge = _edge_matrix(o_pos, box, cutoff)
+    upper = edge & (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
+    ii, jj = jnp.nonzero(upper, size=capacity, fill_value=0)
+    mask = jnp.arange(capacity) < jnp.sum(upper)
+    return jnp.stack([ii, jj], axis=1).astype(jnp.int32), mask, jnp.sum(upper)
+
+
+def triplet_list(o_pos, box, cutoff, capacity, k_max=None):
+    """Padded triplet list: all unordered {a,b,c} with >= 2 O-O edges.
+
+    Returns (triplets [capacity,3] int32 as (i, center, k), mask, n_found)."""
+    n = o_pos.shape[0]
+    if k_max is None:
+        k_max = max_neighbors(n, box, cutoff)
+    edge = _edge_matrix(o_pos, box, cutoff)
+
+    # per-center padded neighbor list, ascending index order
+    order = jnp.argsort(~edge, axis=1, stable=True)[:, :k_max]     # [n, K]
+    valid = jnp.take_along_axis(edge, order, axis=1)               # [n, K]
+
+    centers = jnp.arange(n)[:, None, None]                         # j
+    i_idx = order[:, :, None]                                      # [n, K, 1]
+    k_idx = order[:, None, :]                                      # [n, 1, K]
+    vi = valid[:, :, None]
+    vk = valid[:, None, :]
+    pq_upper = (jnp.arange(k_max)[:, None] < jnp.arange(k_max)[None, :])[None]
+    cand = vi & vk & pq_upper                                      # i < k guaranteed
+    ik_edge = edge[i_idx, k_idx]
+    keep = cand & (~ik_edge | (centers < i_idx))
+
+    flat = keep.reshape(-1)
+    sel = jnp.nonzero(flat, size=capacity, fill_value=0)[0]
+    jj = sel // (k_max * k_max)
+    rem = sel % (k_max * k_max)
+    pi = rem // k_max
+    pk = rem % k_max
+    a = order[jj, pi]
+    c = order[jj, pk]
+    n_found = jnp.sum(flat)
+    mask = jnp.arange(capacity) < n_found
+    trip = jnp.stack([a, jj, c], axis=1).astype(jnp.int32)
+    return trip, mask, n_found

@@ -105,6 +105,23 @@ def water_positions(system: System, positions):
     return positions[idx]
 
 
+def make_molecules_whole(system: System, positions):
+    """Image each water's hydrogens next to its oxygen (reference convention:
+    imageParticles w.r.t. the molecule's O, MBPolReferenceTwoBodyForce.cpp:66-76).
+    Required for PDB inputs with wrapped molecules; a no-op for whole ones."""
+    if not system.periodic:
+        return positions
+    box = jnp.asarray(system.box, positions.dtype)
+    o = positions[system.o_index]
+
+    def image(p):
+        return p + jnp.floor((o - p) / box + 0.5) * box
+
+    positions = positions.at[system.h1_index].set(image(positions[system.h1_index]))
+    positions = positions.at[system.h2_index].set(image(positions[system.h2_index]))
+    return positions
+
+
 def minimum_image(delta, box):
     """Minimum-image displacement for an orthorhombic box.
 

@@ -1,0 +1,83 @@
+"""Neighbor-list correctness: padded lists must reproduce dense results.
+
+Mirrors the counting intent of TestReferenceThreeNeighborList.cpp, but
+against the complete >= 2-edge triplet set (see ops/neighbors.py docstring
+for the documented deviation from the reference's enumeration).
+"""
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+
+import fixtures
+from mbpol_openmm_plugin_tpu.models.three_body import three_body_energy
+from mbpol_openmm_plugin_tpu.models.two_body import two_body_energy
+from mbpol_openmm_plugin_tpu.ops import neighbors
+from mbpol_openmm_plugin_tpu.system import make_molecules_whole
+
+
+def _brute_force_lists(o, box, cutoff):
+    n = len(o)
+    d = o[:, None, :] - o[None, :, :]
+    if box is not None:
+        b = np.asarray(box)
+        d -= np.floor(d / b + 0.5) * b
+    r = np.sqrt((d ** 2).sum(-1))
+    edge = (r < cutoff) & ~np.eye(n, dtype=bool)
+    pairs = [(i, j) for i, j in itertools.combinations(range(n), 2) if edge[i, j]]
+    trips = [t for t in itertools.combinations(range(n), 3)
+             if int(edge[t[0], t[1]]) + int(edge[t[0], t[2]]) + int(edge[t[1], t[2]]) >= 2]
+    return pairs, trips
+
+
+def test_lists_match_brute_force_water50():
+    box = [1.8] * 3
+    sys_, pos = fixtures.load_system('water50', box=box)
+    pos = make_molecules_whole(sys_, pos)
+    o = np.asarray(pos[sys_.o_index])
+
+    for cutoff in (0.45, 0.65):
+        bf_pairs, bf_trips = _brute_force_lists(o, box, cutoff)
+        cap_p = neighbors.pair_capacity(50, box, cutoff)
+        pairs, pmask, n_p = neighbors.pair_list(jnp.asarray(o), box, cutoff, cap_p)
+        got = {tuple(p) for p, m in zip(np.asarray(pairs), np.asarray(pmask)) if m}
+        assert got == set(bf_pairs), (cutoff, len(got), len(bf_pairs))
+        assert int(n_p) == len(bf_pairs)
+
+        cap_t = neighbors.triplet_capacity(50, box, cutoff)
+        trips, tmask, n_t = neighbors.triplet_list(jnp.asarray(o), box, cutoff, cap_t)
+        got_t = {tuple(sorted(t)) for t, m in zip(np.asarray(trips), np.asarray(tmask)) if m}
+        assert int(n_t) == len(bf_trips), (int(n_t), len(bf_trips))
+        assert got_t == {tuple(t) for t in bf_trips}
+
+
+def test_listed_energies_match_dense_water50():
+    box = [1.8] * 3
+    sys_, pos = fixtures.load_system('water50', box=box)
+    pos = make_molecules_whole(sys_, pos)
+    o = pos[sys_.o_index]
+
+    cap_p = neighbors.pair_capacity(50, box, 0.65)
+    pairs, pmask, _ = neighbors.pair_list(o, box, 0.65, cap_p)
+    e_list = two_body_energy(sys_, pos, pairs, pmask)
+    e_dense = two_body_energy(sys_, pos)
+    np.testing.assert_allclose(float(e_list), float(e_dense), rtol=1e-12)
+
+    cap_t = neighbors.triplet_capacity(50, box, 0.45)
+    trips, tmask, _ = neighbors.triplet_list(o, box, 0.45, cap_t)
+    e_list3 = three_body_energy(sys_, pos, trips, tmask)
+    e_dense3 = three_body_energy(sys_, pos)
+    np.testing.assert_allclose(float(e_list3), float(e_dense3), rtol=1e-10)
+
+
+def test_triplet_energy_permutation_invariance():
+    box = [1.8] * 3
+    sys_, pos = fixtures.load_system('water50', box=box)
+    pos = make_molecules_whole(sys_, pos)
+    o = pos[sys_.o_index]
+    cap_t = neighbors.triplet_capacity(50, box, 0.45)
+    trips, tmask, _ = neighbors.triplet_list(o, box, 0.45, cap_t)
+    t = np.asarray(trips)
+    e1 = three_body_energy(sys_, pos, t, tmask)
+    e2 = three_body_energy(sys_, pos, t[:, [2, 0, 1]], tmask)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-10)

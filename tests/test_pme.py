@@ -1,0 +1,52 @@
+"""PME electrostatics goldens.
+
+Sources (platforms/reference/tests/TestReferenceMBPolElectrostaticsForce.cpp):
+  - testWater3PMEHugeBox (:895): PME with alpha=1e-15, grid 20^3, box 50 nm
+    must reproduce the cluster result (E=-7.08652 kcal/mol + forces).
+  - testWater3VirtualSitePMESmallBox (:1327): full 4-site water3 with charge
+    redistribution, box 1.8 nm, cutoff 0.9 nm, auto alpha/grid from
+    tol=1e-4: E = -66.7426 kJ/mol (rel. tol 1e-2).
+"""
+import jax.numpy as jnp
+import numpy as np
+
+import fixtures
+from mbpol_openmm_plugin_tpu.models import electrostatics as E
+from mbpol_openmm_plugin_tpu.models import pme as P
+from mbpol_openmm_plugin_tpu.utils import units
+from test_electrostatics_cluster import (GOLDEN_W3_FORCES_KCAL_A, WATER3_POS9,
+                                         _three_site_params)
+
+
+def test_pme_huge_box_equals_cluster():
+    import dataclasses
+    params = _three_site_params()
+    params = dataclasses.replace(params, target_epsilon=1e-12)
+    setup = P.PmeSetup(alpha=1e-15, grid=(20, 20, 20), cutoff=0.9,
+                       box=(50.0, 50.0, 50.0))
+    pos = jnp.asarray(WATER3_POS9)
+    energy, forces, diag = P.pme_electrostatics(params, setup, pos)
+    assert bool(diag['converged'])
+    e_kcal = float(energy) * units.KJ_PER_MOL_TO_KCAL_PER_MOL
+    assert abs(e_kcal - (-7.08652)) < 1e-3, e_kcal
+    f_kcal_a = np.asarray(forces) * units.KJ_PER_MOL_TO_KCAL_PER_MOL / units.NM_TO_ANGSTROM
+    np.testing.assert_allclose(f_kcal_a, GOLDEN_W3_FORCES_KCAL_A, rtol=1e-3, atol=1e-3)
+
+
+def test_pme_small_box_virtual_site_golden():
+    from mbpol_openmm_plugin_tpu.system import System, compute_virtual_sites
+    sys_ = System.waters(3, box=[1.8, 1.8, 1.8])
+    full = np.zeros((12, 3))
+    full[[0, 1, 2, 4, 5, 6, 8, 9, 10]] = WATER3_POS9
+    pos = compute_virtual_sites(sys_, jnp.asarray(full))
+    params = E.ElecParams.for_system(sys_, target_epsilon=1e-12)
+
+    # auto alpha/grid from tol=1e-4, cutoff=0.9 (OpenMM calcPMEParameters)
+    tol = 1e-4
+    alpha = float(np.sqrt(-np.log(2 * tol)) / 0.9)
+    grid = int(np.ceil(2 * alpha * 1.8 / (3 * tol ** 0.2)))
+    setup = P.PmeSetup(alpha=alpha, grid=(grid, grid, grid), cutoff=0.9,
+                       box=(1.8, 1.8, 1.8))
+    energy, forces, diag = P.pme_electrostatics(params, setup, pos)
+    assert bool(diag['converged'])
+    assert abs(float(energy) - (-66.7426)) / 66.74 < 1e-2, float(energy)

@@ -1,0 +1,47 @@
+"""Whole-model PME integration goldens.
+
+Reference: python/tests/TestReferenceMBPolIntegrationTest.py and
+TestReferenceMBPol14WaterTest.py:
+  - water3 PME, box 1.9 nm: -8.92353 kcal/mol
+  - water14 PME, box 1.8 nm: -60 +/- 1 kcal/mol
+  - water50 PME, box 1.8 nm: -244.37507 +/- 1 kcal/mol
+  - water256 PME, box 1.93997 nm: -2270.8889 +/- 20 kcal/mol
+All with nonbondedCutoff = 0.9 nm.
+"""
+import numpy as np
+import pytest
+
+import fixtures
+from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+from mbpol_openmm_plugin_tpu.utils import units
+
+
+def _total(name, box, **cfg):
+    sys_, pos = fixtures.load_system(name, box=box)
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9, **cfg))
+    e, forces, parts, diag = pot.energy_forces(pos)
+    assert bool(diag['converged'])
+    assert np.all(np.isfinite(np.asarray(forces)))
+    return float(e) * units.KJ_PER_MOL_TO_KCAL_PER_MOL, parts
+
+
+def test_water3_pme_total():
+    e_kcal, parts = _total('water3', [1.9, 1.9, 1.9])
+    assert abs(e_kcal - (-8.92353)) < 0.1, (e_kcal, {k: float(v) / 4.184 for k, v in parts.items()})
+
+
+def test_water14_pme_total():
+    e_kcal, parts = _total('water14', [1.8, 1.8, 1.8])
+    assert abs(e_kcal - (-60.0)) < 1.0, (e_kcal, {k: float(v) / 4.184 for k, v in parts.items()})
+
+
+def test_water50_pme_total():
+    e_kcal, parts = _total('water50', [1.8, 1.8, 1.8])
+    assert abs(e_kcal - (-244.37507)) < 1.0, (e_kcal, {k: float(v) / 4.184 for k, v in parts.items()})
+
+
+@pytest.mark.slow
+def test_water256_pme_total():
+    box = 19.3996888399961804 / 10.0
+    e_kcal, parts = _total('water256_integration_test', [box, box, box])
+    assert abs(e_kcal - (-2270.88890)) < 20.0, (e_kcal, {k: float(v) / 4.184 for k, v in parts.items()})
