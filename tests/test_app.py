@@ -1,0 +1,99 @@
+"""App-layer tests: the reference's python test patterns run on our
+OpenMM-compatible surface (PDBFile/ForceField/Simulation/force isolation),
+mirroring python/tests/TestReferenceMBPolTwoBodyForce.py:28-39 and
+TestReferenceMBPol14WaterTest.py."""
+import os
+
+import numpy as np
+import pytest
+
+import fixtures
+from mbpol_openmm_plugin_tpu import app
+from mbpol_openmm_plugin_tpu.app import unit
+from mbpol_openmm_plugin_tpu.app.pdbfile import write_pdb_frame
+
+
+@pytest.fixture
+def pdb_dir(tmp_path):
+    """Regenerate PDB files from the extracted fixtures with our writer."""
+    from mbpol_openmm_plugin_tpu.app.pdbfile import Atom, Topology
+    paths = {}
+    for name in ['water2', 'water3', 'water14', 'water_and_ion']:
+        d = fixtures.load(name)
+        atoms = [Atom(i, str(n), str(rn), int(ri)) for i, (n, rn, ri) in
+                 enumerate(zip(d['names'], d['resnames'], d['resids']))]
+        topo = Topology(atoms)
+        p = tmp_path / f'{name}.pdb'
+        with open(p, 'w') as fh:
+            write_pdb_frame(fh, topo, d['positions'])
+        paths[name] = str(p)
+    return paths
+
+
+def _simulation(pdb_path, remove=(), nonbondedMethod=app.CutoffNonPeriodic,
+                cutoff=1.0, box=None):
+    pdb = app.PDBFile(pdb_path)
+    if box is not None:
+        pdb.topology.setUnitCellDimensions(box)
+    ff = app.ForceField(app.mbpol_xml_path())
+    system = ff.createSystem(pdb.topology, nonbondedMethod=nonbondedMethod,
+                             nonbondedCutoff=cutoff * unit.nanometer)
+    for i in remove:
+        system.removeForce(i)
+    integrator = app.VerletIntegrator(0.02 * unit.femtoseconds)
+    sim = app.Simulation(pdb.topology, system, integrator)
+    sim.context.setPositions(pdb.positions)
+    sim.context.computeVirtualSites()
+    return sim
+
+
+def _energy_kcal(sim):
+    state = sim.context.getState(getEnergy=True, getForces=True)
+    return state.getPotentialEnergy().value_in_unit(unit.kilocalorie_per_mole)
+
+
+def test_force_isolation_two_body(pdb_dir):
+    # force order: elec, one, two, three, CMMotionRemover, CustomDispersion
+    sim = _simulation(pdb_dir['water2'], remove=[0, 0, 1, 1, 1])
+    e = _energy_kcal(sim)
+    assert abs(e - 6.14207815) < 0.01, e
+
+
+def test_force_isolation_dispersion(pdb_dir):
+    sim = _simulation(pdb_dir['water3'], remove=[0, 0, 0, 0, 0])
+    e = _energy_kcal(sim)
+    assert abs(e - (-6.84471477)) < 0.01, e
+
+
+def test_water14_total_pme(pdb_dir):
+    sim = _simulation(pdb_dir['water14'], nonbondedMethod=app.PME, cutoff=0.9,
+                      box=[1.8, 1.8, 1.8])
+    e = _energy_kcal(sim)
+    assert abs(e - (-60.0)) < 1.0, e
+
+
+def test_water3_total_cluster_app(pdb_dir):
+    sim = _simulation(pdb_dir['water3'], cutoff=0.9)
+    e = _energy_kcal(sim)
+    assert abs(e - (-8.78893485)) < 0.1, e
+
+
+def test_md_with_reporters(pdb_dir, tmp_path):
+    sim = _simulation(pdb_dir['water3'], cutoff=0.9)
+    log = str(tmp_path / 'run.log')
+    traj = str(tmp_path / 'traj.pdb')
+    sim.reporters.append(app.StateDataReporter(log, 5, step=True, potentialEnergy=True,
+                                               kineticEnergy=True, temperature=True,
+                                               speed=True, totalSteps=10))
+    sim.reporters.append(app.PDBReporter(traj, 5))
+    sim.context.setVelocitiesToTemperature(100 * unit.kelvin)
+    sim.step(10)
+    assert os.path.exists(log) and len(open(log).readlines()) >= 3
+    assert 'MODEL' in open(traj).read()
+
+
+def test_pdb_roundtrip(pdb_dir):
+    pdb = app.PDBFile(pdb_dir['water3'])
+    ref = fixtures.load('water3')
+    np.testing.assert_allclose(np.asarray(pdb.positions.to_internal()),
+                               ref['positions'], atol=1e-4)
