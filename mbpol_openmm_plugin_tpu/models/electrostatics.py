@@ -114,15 +114,20 @@ def thole_scales(u, gamma, orders=(1, 3, 5, 7)):
     return out
 
 
-def _pair_tensors(params: ElecParams, positions, periodic_delta=None):
+def _pair_tensors(params: ElecParams, positions, periodic_delta=None, mesh=None):
     """Common dense [N,N] geometry/scale tensors.
 
     Returns dict with delta (r_j - r_i), r, masks and Thole gamma matrices.
+    When a device mesh is given, the row (i) dimension is sharded over its
+    'dp' axis so the O(N^2) work and the SCF matmuls partition across chips.
     """
     n = len(params.damping)
     delta = positions[None, :, :] - positions[:, None, :]
     if periodic_delta is not None:
         delta = periodic_delta(delta)
+    if mesh is not None:
+        from mbpol_openmm_plugin_tpu.parallel import mesh as M
+        delta = M.constrain(delta, M.row_sharded(mesh))
     r2 = jnp.sum(delta * delta, axis=-1)
     notself = ~np.eye(n, dtype=bool)
     r = jnp.sqrt(jnp.where(notself, r2, 1.0))
@@ -269,7 +274,7 @@ def scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta, target_epsilon,
     """
     n = efield_alpha.shape[0]
     dtype = efield_alpha.dtype
-    big = jnp.asarray(1e50, dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
 
     def one_iter(mu):
         field = _dipole_field(mu, s3, s5, delta)
@@ -302,14 +307,14 @@ def scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta, target_epsilon,
 # Cluster (NoCutoff) energy and forces
 # ----------------------------------------------------------------------
 
-def cluster_electrostatics(params: ElecParams, positions):
+def cluster_electrostatics(params: ElecParams, positions, mesh=None):
     """Energy (kJ/mol), forces (kJ/mol/nm) and SCF diagnostics.
 
     positions: [N, 3] nm, including M sites (already placed).
     """
     dtype = positions.dtype
     f = units.ELECTRIC
-    t = _pair_tensors(params, positions)
+    t = _pair_tensors(params, positions, mesh=mesh)
     delta, r, u = t['delta'], t['r'], t['u']
     notself, diff_mol = t['notself'], t['diff_mol']
 

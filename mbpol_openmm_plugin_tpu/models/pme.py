@@ -187,10 +187,12 @@ def _bn_factors(alpha, r, inv_r, orders=4):
     return bn
 
 
-def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions):
+def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
+                       mesh=None):
     """PME energy (kJ/mol), forces (kJ/mol/nm), diagnostics.
 
-    positions: [N,3] nm with M sites placed.
+    positions: [N,3] nm with M sites placed. `mesh` row-shards the dense
+    direct-space tensors across the 'dp' axis (see parallel/mesh.py).
     """
     dtype = positions.dtype
     f_elec = units.ELECTRIC
@@ -206,7 +208,8 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions):
     # ---- pair tensors (minimum image, cutoff) ----
     t = elec._pair_tensors(params, positions,
                            periodic_delta=lambda d: d - jnp.floor(
-                               d / jnp.asarray(box, dtype) + 0.5) * jnp.asarray(box, dtype))
+                               d / jnp.asarray(box, dtype) + 0.5) * jnp.asarray(box, dtype),
+                           mesh=mesh)
     delta, r, u = t['delta'], t['r'], t['u']
     notself, same_mol = t['notself'], t['same_mol']
     r2 = r * r

@@ -62,13 +62,15 @@ class MBPol:
     overwritten by virtual-site placement).
     """
 
-    def __init__(self, system: System, config: MBPolConfig = MBPolConfig()):
+    def __init__(self, system: System, config: MBPolConfig = MBPolConfig(),
+                 mesh=None):
         if config.nonbonded_method not in ('NoCutoff', 'PME'):
             raise ValueError(config.nonbonded_method)
         if config.nonbonded_method == 'PME' and not system.periodic:
             raise ValueError('PME requires a periodic box')
         self.system = system
         self.config = config
+        self.mesh = mesh
         self.elec_params = elec.ElecParams.for_system(
             system,
             include_charge_redistribution=config.include_charge_redistribution,
@@ -88,6 +90,11 @@ class MBPol:
                                                     config.cutoff_2b, factor=f)
             self.trip_cap = neighbors.triplet_capacity(system.n_waters, box,
                                                        config.cutoff_3b, factor=f)
+            if mesh is not None:
+                from mbpol_openmm_plugin_tpu.parallel import mesh as M
+                ndev = mesh.devices.size
+                self.pair_cap = M.round_up(self.pair_cap, ndev)
+                self.trip_cap = M.round_up(self.trip_cap, ndev)
         self._energy_forces = jax.jit(self._energy_forces_impl)
 
     # ------------------------------------------------------------------
@@ -101,6 +108,11 @@ class MBPol:
                                                 self.pair_cap)
         trips, tmask, n_t = neighbors.triplet_list(o_pos, box, self.config.cutoff_3b,
                                                    self.trip_cap)
+        if self.mesh is not None:
+            from mbpol_openmm_plugin_tpu.parallel import mesh as M
+            rs = M.row_sharded(self.mesh)
+            pairs, pmask = M.constrain(pairs, rs), M.constrain(pmask, rs)
+            trips, tmask = M.constrain(trips, rs), M.constrain(tmask, rs)
         diag = dict(n_pairs=n_p, n_triplets=n_t,
                     pair_overflow=n_p > self.pair_cap,
                     triplet_overflow=n_t > self.trip_cap)
@@ -150,9 +162,10 @@ class MBPol:
             pos_v = compute_virtual_sites(sys_, positions)
             if self.pme is not None:
                 e_elec, f_elec, ediag = pme_mod.pme_electrostatics(
-                    self.elec_params, self.pme, pos_v)
+                    self.elec_params, self.pme, pos_v, mesh=self.mesh)
             else:
-                e_elec, f_elec, ediag = elec.cluster_electrostatics(self.elec_params, pos_v)
+                e_elec, f_elec, ediag = elec.cluster_electrostatics(
+                    self.elec_params, pos_v, mesh=self.mesh)
             diag.update(ediag)
             parts = dict(parts, electrostatics=e_elec)
             # redistribute M-site forces to parents (average3 weights)

@@ -22,7 +22,7 @@ import numpy as np
 
 from mbpol_openmm_plugin_tpu import data as _data
 from mbpol_openmm_plugin_tpu.models.two_body import _safe_norm, f_switch
-from mbpol_openmm_plugin_tpu.ops.polyeval import load_pip, pip_energy
+from mbpol_openmm_plugin_tpu.ops.polyeval import pip_apply
 from mbpol_openmm_plugin_tpu.system import System, water_positions
 from mbpol_openmm_plugin_tpu.utils import units
 
@@ -60,7 +60,6 @@ def three_body_energy_triplets(pos_a, pos_b, pos_c, valid):
       [T] energies in kcal/mol.
     """
     c = _consts()
-    pip = load_pip('poly3b')
     dtype = pos_a.dtype
 
     oa, ha1, ha2 = pos_a[:, 0], pos_a[:, 1], pos_a[:, 2]
@@ -102,7 +101,7 @@ def three_body_energy_triplets(pos_a, pos_b, pos_c, valid):
         var(kOO, dOO, oa, ob), var(kOO, dOO, oa, oc), var(kOO, dOO, ob, oc),
     ], axis=-1)
 
-    e_poly = pip_energy(x, jnp.asarray(pip.exponents), jnp.asarray(pip.coeffs))
+    e_poly = pip_apply('poly3b')(x)
 
     sab = f_switch(rab, c['r3i'], c['r3f'])
     sac = f_switch(rac, c['r3i'], c['r3f'])

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mbpol_openmm_plugin_tpu import data as _data
-from mbpol_openmm_plugin_tpu.ops.polyeval import load_pip, pip_energy
+from mbpol_openmm_plugin_tpu.ops.polyeval import pip_apply
 from mbpol_openmm_plugin_tpu.system import System, water_positions
 from mbpol_openmm_plugin_tpu.utils import units
 
@@ -87,7 +87,6 @@ def two_body_energy_pairs(pos_a, pos_b, valid):
       [P] pair energies in kcal/mol.
     """
     c = _consts()
-    pip = load_pip('poly2b')
     dtype = pos_a.dtype
 
     oa, ha1, ha2 = pos_a[:, 0], pos_a[:, 1], pos_a[:, 2]
@@ -144,7 +143,7 @@ def two_body_energy_pairs(pos_a, pos_b, valid):
         v_exp_inter(c['k_XX_main'], xa2, xb2),
     ], axis=-1)
 
-    e_poly = pip_energy(x, jnp.asarray(pip.exponents), jnp.asarray(pip.coeffs))
+    e_poly = pip_apply('poly2b')(x)
     sw = f_switch(roo, c['r2i'], c['r2f'])
     return jnp.where(active, sw * e_poly, jnp.zeros((), dtype))
 

@@ -46,6 +46,12 @@ def load_pip(name):
     return PIPData(d['exponents'], d['coeffs'])
 
 
+# PIP fits have large canceling coefficients (|c| up to ~1e5 summing to
+# ~kcal/mol), so the contractions must run at true float32 or better on the
+# MXU - never bf16 passes.
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def pip_energy(x, exponents, coeffs):
     """Batched PIP evaluation.
 
@@ -57,15 +63,58 @@ def pip_energy(x, exponents, coeffs):
       [...] energies. Differentiable; the VJP is the natural transpose matmul.
     """
     et = exponents.astype(x.dtype)
-    mono = jnp.exp(jnp.log(x) @ et.T)
-    return mono @ coeffs.astype(x.dtype)
+    mono = jnp.exp(jnp.dot(jnp.log(x), et.T, precision=_PREC))
+    return jnp.dot(mono, coeffs.astype(x.dtype), precision=_PREC)
 
 
 def pip_energy_and_grad(x, exponents, coeffs):
     """Energy and analytic dE/dx in one pass (three matmuls)."""
     et = exponents.astype(x.dtype)
     c = coeffs.astype(x.dtype)
-    mono = jnp.exp(jnp.log(x) @ et.T)
-    e = mono @ c
-    g = ((mono * c) @ et) / x
+    mono = jnp.exp(jnp.dot(jnp.log(x), et.T, precision=_PREC))
+    e = jnp.dot(mono, c, precision=_PREC)
+    g = jnp.dot(mono * c, et, precision=_PREC) / x
     return e, g
+
+
+def _use_pallas(dtype):
+    import os
+    if os.environ.get('MBPOL_NO_PALLAS'):
+        return False
+    return dtype == jnp.float32 and jax.default_backend() not in ('cpu',)
+
+
+@functools.lru_cache(maxsize=None)
+def pip_apply(name):
+    """Batched PIP energy fn with a fused-kernel VJP.
+
+    Returns f(x[P, nvars]) -> e[P], differentiable once. On TPU/float32 the
+    energy and gradient come from the fused Pallas kernel
+    (ops/pip_pallas.py); elsewhere from the jnp matmul formulation. The
+    gradient is saved as the VJP residual so reverse-mode never
+    rematerializes the monomial matrix.
+    """
+    pip = load_pip(name)
+    exponents = pip.exponents
+    coeffs = pip.coeffs
+
+    def impl(x):
+        if _use_pallas(x.dtype):
+            from mbpol_openmm_plugin_tpu.ops.pip_pallas import pip_energy_grad_tpu
+            return pip_energy_grad_tpu(name, x)
+        return pip_energy_and_grad(x, jnp.asarray(exponents), jnp.asarray(coeffs))
+
+    @jax.custom_vjp
+    def f(x):
+        return impl(x)[0]
+
+    def fwd(x):
+        e, g = impl(x)
+        return e, (g,)
+
+    def bwd(res, ct):
+        (g,) = res
+        return (g * ct[:, None],)
+
+    f.defvjp(fwd, bwd)
+    return f
