@@ -19,13 +19,13 @@ import numpy as np
 from mbpol_openmm_plugin_tpu import data as _data
 from mbpol_openmm_plugin_tpu.system import System, minimum_image
 
-_FACT = np.array([1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0])
-
-
 def tt6(x):
-    """Order-6 Tang-Toennies damping, numerically safe at x=0."""
-    terms = x[..., None] ** np.arange(7) / _FACT
-    return 1.0 - jnp.exp(-x) * jnp.sum(terms, axis=-1)
+    """Order-6 Tang-Toennies damping, numerically safe at x=0.
+    Horner form of sum_{k=0..6} x^k/k! (one fused pass, no extra axis)."""
+    s = 1.0 / 720.0
+    for k in (120.0, 24.0, 6.0, 2.0, 1.0, 1.0):
+        s = s * x + 1.0 / k
+    return 1.0 - jnp.exp(-x) * s
 
 
 def dispersion_energy(system: System, positions, cutoff=None):
@@ -36,18 +36,23 @@ def dispersion_energy(system: System, positions, cutoff=None):
       positions: [natoms, 3] nm (M sites already placed; their C6 is 0).
       cutoff: optional truncation distance in nm (plain truncation, like
         OpenMM CustomNonbondedForce without a switching function).
+
+    The per-pair C6/d6 tables and the exclusion mask are static (atom
+    classes and molecule ids) and precomputed host-side, so the jitted
+    computation is purely dense elementwise math - no gathers.
     """
     ff = _data.load('forcefield')
     dtype = positions.dtype
-    cls = system.atom_class
-    C6 = jnp.asarray(ff['C6'], dtype)[cls[:, None], cls[None, :]]
-    d6 = jnp.asarray(ff['d6'], dtype)[cls[:, None], cls[None, :]]
+    cls = np.asarray(system.atom_class)
+    C6 = jnp.asarray(ff['C6'][cls[:, None], cls[None, :]], dtype)
+    d6 = jnp.asarray(ff['d6'][cls[:, None], cls[None, :]], dtype)
+    excl = np.asarray(system.mol_index)[:, None] != np.asarray(system.mol_index)[None, :]
 
     delta = positions[None, :, :] - positions[:, None, :]
     delta = minimum_image(delta, system.box if system.periodic else None)
     r2 = jnp.sum(delta * delta, axis=-1)
 
-    mask = system.mol_index[:, None] != system.mol_index[None, :]
+    mask = jnp.asarray(excl)
     if cutoff is not None:
         mask = mask & (r2 < cutoff * cutoff)
 

@@ -39,7 +39,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.special import gammaincc
+from mbpol_openmm_plugin_tpu.ops.gamma import gammq34
 
 from mbpol_openmm_plugin_tpu import data as _data
 from mbpol_openmm_plugin_tpu.utils import units
@@ -103,7 +103,7 @@ def thole_scales(u, gamma, orders=(1, 3, 5, 7)):
     out = {}
     s3 = 1.0 - ex
     if 1 in orders:
-        out[1] = s3 + gamma ** 0.25 * u * _GAMMA_3_4 * gammaincc(0.75, gamma * ratio)
+        out[1] = s3 + gamma ** 0.25 * u * _GAMMA_3_4 * gammq34(gamma * ratio)
     if 3 in orders:
         out[3] = s3
     s5 = s3 - (4.0 / 3.0) * gamma * ex * ratio
@@ -132,9 +132,10 @@ def _pair_tensors(params: ElecParams, positions, periodic_delta=None, mesh=None)
     notself = ~np.eye(n, dtype=bool)
     r = jnp.sqrt(jnp.where(notself, r2, 1.0))
 
-    damping = jnp.asarray(params.damping, positions.dtype)
-    damp = (damping[:, None] * damping[None, :]) ** (1.0 / 6.0)
-    u = r / damp
+    # damp matrix is static per system: precompute its inverse host-side
+    damping = np.asarray(params.damping, np.float64)
+    inv_damp = 1.0 / (damping[:, None] * damping[None, :]) ** (1.0 / 6.0)
+    u = r * jnp.asarray(inv_damp, positions.dtype)
 
     same_mol = params.mol_index[:, None] == params.mol_index[None, :]
     diff_mol = (~same_mol) & notself
@@ -388,3 +389,49 @@ def cluster_electrostatics(params: ElecParams, positions, mesh=None):
         forces = forces.at[atom_idx.reshape(-1)].add(f_atoms.reshape(-1, 3))
 
     return energy, forces, dict(**diag, charges=charges, induced_dipoles=mu)
+
+
+def system_moments(params: ElecParams, positions, masses):
+    """Net charge, dipole and quadrupole moments including induced dipoles,
+    in the reference's output convention (13-vector: charge, dipole[3] in
+    Debye, traceless quadrupole[9] in Debye*A;
+    calculateMBPolSystemElectrostaticsMoments, cpp:923-1021)."""
+    energy, forces, diag = cluster_electrostatics(params, positions)
+    charges, mu = diag['charges'], diag['induced_dipoles']
+    m = jnp.asarray(masses, positions.dtype)
+    com = jnp.sum(m[:, None] * positions, axis=0) / jnp.sum(m)
+    local = positions - com
+
+    netchg = jnp.sum(charges)
+    dpl = jnp.sum(local * charges[:, None] + mu, axis=0)
+
+    def quad(a, b):
+        return jnp.sum(local[:, a] * local[:, b] * charges
+                       + local[:, a] * mu[:, b] + local[:, b] * mu[:, a])
+
+    xx, yy, zz = quad(0, 0), quad(1, 1), quad(2, 2)
+    xy, xz, yz = quad(0, 1), quad(0, 2), quad(1, 2)
+    qave = (xx + yy + zz) / 3.0
+    debye = 4.80321
+    out = jnp.zeros(13, positions.dtype)
+    out = out.at[0].set(netchg)
+    out = out.at[1:4].set(dpl * 10.0 * debye)
+    q = jnp.array([0.5 * (xx - qave), 0.5 * xy, 0.5 * xz,
+                   0.5 * xy, 0.5 * (yy - qave), 0.5 * yz,
+                   0.5 * xz, 0.5 * yz, 0.5 * (zz - qave)]) * (100.0 * 3.0 * debye)
+    out = out.at[4:13].set(q)
+    return out
+
+
+def electrostatic_potential_on_grid(params: ElecParams, positions, grid_points):
+    """Electrostatic potential at arbitrary points from charges + induced
+    dipoles (calculateElectrostaticPotential, cpp:1023-1086). Returns
+    kJ/mol/e values, [n_grid]."""
+    energy, forces, diag = cluster_electrostatics(params, positions)
+    charges, mu = diag['charges'], diag['induced_dipoles']
+    delta = positions[None, :, :] - grid_points[:, None, :]      # particle - grid
+    r2 = jnp.sum(delta * delta, axis=-1)
+    r = jnp.sqrt(r2)
+    pot = charges[None, :] / r
+    pot = pot - jnp.einsum('jd,gjd->gj', mu, delta) / (r2 * r)
+    return units.ELECTRIC * jnp.sum(pot, axis=1)

@@ -71,10 +71,19 @@ class PmeSetup:
 # Grid machinery
 # ----------------------------------------------------------------------
 
-def _spline_data(setup: PmeSetup, positions):
-    """Fractional grid coordinates and B-spline tables.
+_NDERIV = 3   # spline value + 1st + 2nd derivative (all that charges need)
 
-    Returns igrid [N,3] int32 base indices and theta [N,3,5,4]."""
+
+def _spline_matrices(setup: PmeSetup, positions):
+    """Separable one-hot spline matrices.
+
+    Returns (Sx [N, nx, 3], Sy [N, ny, 3], Sz [N, nz, 3]) with
+    S[n, g, d] = d-th derivative coefficient of atom n's order-5 B-spline at
+    grid line g (zero outside the atom's 5-point support; periodic wrap).
+
+    This turns both charge/dipole spreading and potential read-back into
+    dense matmuls - no scatter/gather, which are serialized on TPU.
+    """
     dims = jnp.asarray(setup.grid)
     box = jnp.asarray(setup.box, positions.dtype)
     pos = positions - jnp.floor(positions / box + 0.5) * box
@@ -83,40 +92,47 @@ def _spline_data(setup: PmeSetup, positions):
     ifr = jnp.floor(fr)
     wfrac = fr - ifr
     igrid = jnp.mod(ifr.astype(jnp.int32) - (ORDER - 1), dims)
-    theta = bspline5(wfrac)                       # [N, 3, 5, 4]
-    return igrid, theta
+    theta = bspline5(wfrac)[..., :_NDERIV]        # [N, 3, 5, 3]
 
-
-def _neighborhood_indices(setup, igrid):
-    """Flat grid indices of each atom's 5x5x5 neighborhood: [N, 5,5,5]."""
-    nx, ny, nz = setup.grid
+    out = []
     off = np.arange(ORDER)
-    gx = jnp.mod(igrid[:, 0:1] + off[None], nx)           # [N,5]
-    gy = jnp.mod(igrid[:, 1:2] + off[None], ny)
-    gz = jnp.mod(igrid[:, 2:3] + off[None], nz)
-    return (gx[:, :, None, None] * (ny * nz)
-            + gy[:, None, :, None] * nz
-            + gz[:, None, None, :])
+    for axis, nax in enumerate(setup.grid):
+        lines = jnp.mod(igrid[:, axis:axis + 1] + off[None], nax)     # [N, 5]
+        onehot = (lines[:, :, None] ==
+                  jnp.arange(nax)[None, None, :]).astype(positions.dtype)
+        out.append(jnp.einsum('nkg,nkd->ngd', onehot, theta[:, axis]))
+    return tuple(out)
 
 
-def _spread(setup, flat_idx, weights):
-    """Scatter-add [N,5,5,5] weights into the flat grid."""
-    ntot = int(np.prod(setup.grid))
-    return jnp.zeros(ntot, weights.dtype).at[flat_idx.reshape(-1)].add(
-        weights.reshape(-1))
+def _spread_separable(setup, wx, sy, sz):
+    """grid[g,h,k] = sum_n wx[n,g] sy[n,h] sz[n,k] as two matmuls."""
+    nx, ny, nz = setup.grid
+    a = jnp.einsum('nh,nk->nhk', sy, sz).reshape(len(sy), ny * nz)
+    return (wx.T @ a).reshape(nx, ny, nz)
 
 
-def _convolve(setup: PmeSetup, grid_flat, dtype):
+def _readback_separable(grid, Sx, Sy, Sz):
+    """P[n,a,b,c] = sum_{ghk} grid[g,h,k] Sx[n,g,a] Sy[n,h,b] Sz[n,k,c],
+    a,b,c < 3 (value/1st/2nd fractional derivatives). Three batched matmuls."""
+    n = Sx.shape[0]
+    nx, ny, nz = grid.shape
+    g2 = grid.reshape(nx, ny * nz)
+    t1 = (Sx.transpose(0, 2, 1).reshape(n * _NDERIV, nx) @ g2)
+    t1 = t1.reshape(n, _NDERIV, ny, nz)
+    t2 = jnp.einsum('nahk,nhb->nabk', t1, Sy)
+    return jnp.einsum('nabk,nkc->nabc', t2, Sz)
+
+
+def _convolve(setup: PmeSetup, grid, dtype):
     """Forward FFT, reciprocal eterm multiply, backward (unnormalized) FFT.
     (performMBPolReciprocalConvolution, cpp:1676-1713)."""
     nx, ny, nz = setup.grid
-    g = grid_flat.reshape(nx, ny, nz)
-    gk = jnp.fft.fftn(g)
+    gk = jnp.fft.fftn(grid)
     eterm = jnp.asarray(_eterm_table(setup), dtype)
     gk = gk * eterm
     ntot = nx * ny * nz
     # real input, real symmetric kernel -> real result (unnormalized backward)
-    return jnp.real(jnp.fft.ifftn(gk) * ntot).reshape(-1)
+    return jnp.real(jnp.fft.ifftn(gk) * ntot)
 
 
 @functools.lru_cache(maxsize=None)
@@ -142,17 +158,6 @@ def _eterm_table(setup: PmeSetup):
         et = scale * np.exp(-expfac * m2) / (m2 * b)
     et[0, 0, 0] = 0.0
     return et
-
-
-def _readback(grid_conv, flat_idx, theta, nderiv=3):
-    """Potential and fractional derivatives at each atom.
-
-    Returns [N, 4, 4, 4] tensor P[a,b,c] = d^a_x d^b_y d^c_z potential
-    (fractional-coordinate derivatives), of which a+b+c <= nderiv are valid.
-    (computeFixedPotentialFromGrid, cpp:1715-1820)."""
-    vals = grid_conv[flat_idx]                     # [N,5,5,5]
-    tx, ty, tz = theta[:, 0], theta[:, 1], theta[:, 2]   # [N,5,4]
-    return jnp.einsum('nxyz,nxa,nyb,nzc->nabc', vals, tx, ty, tz)
 
 
 # phi component layout of the reference (cpp:1800-1819):
@@ -231,18 +236,17 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
     s_cd = elec.thole_scales(u, th[elec.TCD], orders=(3, 5))
     s_dd = elec.thole_scales(u, t['gamma_dd'], orders=(3, 5, 7))
 
-    # ---- grid machinery ----
-    igrid, theta = _spline_data(setup, positions)
-    flat_idx = _neighborhood_indices(setup, igrid)
-    tval = theta[..., 0]                                  # [N,3,5]
-    w_spread = jnp.einsum('nx,ny,nz->nxyz', tval[:, 0], tval[:, 1], tval[:, 2])
+    # ---- grid machinery (separable spline matrices; matmuls only) ----
+    Sx, Sy, Sz = _spline_matrices(setup, positions)
+    sx0, sy0, sz0 = Sx[..., 0], Sy[..., 0], Sz[..., 0]
+    sx1, sy1, sz1 = Sx[..., 1], Sy[..., 1], Sz[..., 1]
 
     def fixed_grid_phi():
-        grid = _spread(setup, flat_idx, charges[:, None, None, None] * w_spread)
+        grid = _spread_separable(setup, charges[:, None] * sx0, sy0, sz0)
         conv = _convolve(setup, grid, dtype)
-        return _readback(conv, flat_idx, theta)
+        return _readback_separable(conv, Sx, Sy, Sz)
 
-    P_fixed = fixed_grid_phi()                            # [N,4,4,4] fractional derivs
+    P_fixed = fixed_grid_phi()                            # [N,3,3,3] fractional derivs
     phi = _phi10(P_fixed)                                 # [N,10]
 
     # ---- fixed field: reciprocal + direct + (no self for charges) ----
@@ -261,13 +265,11 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
     def mu_recip_P(mu):
         """Reciprocal-space spline tensor of the dipole grid (phid source)."""
         smu = mu * pscale[None, :]
-        td = theta[..., 1]
-        wx = jnp.einsum('n,nx,ny,nz->nxyz', smu[:, 0], td[:, 0], tval[:, 1], tval[:, 2])
-        wy = jnp.einsum('n,nx,ny,nz->nxyz', smu[:, 1], tval[:, 0], td[:, 1], tval[:, 2])
-        wz = jnp.einsum('n,nx,ny,nz->nxyz', smu[:, 2], tval[:, 0], tval[:, 1], td[:, 2])
-        grid = _spread(setup, flat_idx, wx + wy + wz)
+        grid = (_spread_separable(setup, smu[:, 0:1] * sx1, sy0, sz0)
+                + _spread_separable(setup, smu[:, 1:2] * sx0, sy1, sz0)
+                + _spread_separable(setup, smu[:, 2:3] * sx0, sy0, sz1))
         conv = _convolve(setup, grid, dtype)
-        return _readback(conv, flat_idx, theta)
+        return _readback_separable(conv, Sx, Sy, Sz)
 
     def extra_field(mu):
         Pd = mu_recip_P(mu)
