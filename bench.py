@@ -50,36 +50,49 @@ def build(dtype_bits=32):
     pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
                                   target_epsilon=1e-3 if dtype_bits == 32 else 1e-7,
                                   max_iterations=200))
+    pot.tune_capacities(pos)
 
-    def energy_forces(p):
-        e, f, parts, diag = pot._energy_forces_impl(p)
-        return e, f
+    import dataclasses
 
-    def md_chunk(state, n):
-        def body(s, _):
-            s = I.velocity_verlet_step(sys_, energy_forces, s, DT_FS * 1e-3)
-            return s, s.potential_energy
-        return jax.lax.scan(body, state, None, length=n)
+    dt = DT_FS * 1e-3
+    inv_m = np.where(np.asarray(sys_.masses) > 0,
+                     1.0 / np.where(np.asarray(sys_.masses) > 0, sys_.masses, 1.0), 0.0)
+    inv_m = jnp.asarray(inv_m, dtype)[:, None]
 
-    e0, f0 = energy_forces(pos)
+    def md_chunk(carry, n):
+        """Velocity Verlet with SCF warm-starting: the induced dipoles of the
+        previous step seed the next step's iteration (same converged fixed
+        point, fewer iterations)."""
+        def body(c, _):
+            st, mu = c
+            v_half = st.velocities + 0.5 * dt * st.forces * inv_m
+            p = st.positions + dt * v_half
+            e, f, parts, diag = pot._energy_forces_impl(p, mu)
+            v = v_half + 0.5 * dt * f * inv_m
+            st = dataclasses.replace(st, positions=p, velocities=v, forces=f,
+                                     potential_energy=e, step=st.step + 1)
+            return (st, diag['induced_dipoles']), e
+        return jax.lax.scan(body, carry, None, length=n)
+
+    e0, f0, parts0, diag0 = pot._energy_forces_impl(pos)
     state = I.MDState(positions=pos, velocities=jnp.zeros_like(pos), forces=f0,
                       potential_energy=e0, box=jnp.asarray(box, dtype),
                       step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(0))
     step_fn = jax.jit(md_chunk, static_argnames=('n',))
-    return state, step_fn, float(e0)
+    return (state, diag0['induced_dipoles']), step_fn, float(e0)
 
 
 def main():
     import jax
-    state, step_fn, e0 = build(32)
+    carry, step_fn, e0 = build(32)
 
     # warmup/compile with the SAME static step count as the measured call
-    state, pes = step_fn(state, N_STEPS)
-    jax.block_until_ready(pes)
+    carry, pes = step_fn(carry, N_STEPS)
+    _ = np.asarray(pes)     # host transfer = reliable device sync
 
     t0 = time.time()
-    state, pes = step_fn(state, N_STEPS)
-    jax.block_until_ready(pes)
+    carry, pes = step_fn(carry, N_STEPS)
+    _ = np.asarray(pes)
     elapsed = time.time() - t0
 
     steps_per_s = N_STEPS / elapsed

@@ -229,6 +229,7 @@ class Simulation:
             cutoff_2b=system.cutoff_2b, cutoff_3b=system.cutoff_3b,
             include_charge_redistribution=system.include_charge_redistribution,
             ewald_error_tolerance=system.ewald_error_tolerance,
+            thole=None if system.thole is None else tuple(system.thole),
             terms=system.term_names)
         self.potential = MBPol(system.system, mb_cfg)
         self._core = CoreSimulation(self.potential, cfg, seed=seed)

@@ -67,6 +67,21 @@ class Simulation:
         e, f, _, _ = self.potential._energy_forces(positions)
         return e, f
 
+    def _health(self, diag):
+        """Health flags from a diagnostics dict (SCF convergence, neighbor
+        list overflow). Mirrors the reference's throw-on-bad-state checks
+        (induced-dipole non-convergence throws, cpp:888-894; CUDA's neighbor
+        overflow re-try, CudaMBPolKernels.cpp:1787) as a returned flag
+        instead of an in-jit exception."""
+        ok = jnp.ones((), bool)
+        for k in ('converged',):
+            if k in diag:
+                ok = ok & diag[k]
+        for k in ('pair_overflow', 'triplet_overflow'):
+            if k in diag:
+                ok = ok & ~diag[k]
+        return ok
+
     def _one_step(self, state):
         cfg = self.config
         if cfg.temperature is not None and cfg.thermostat == 'langevin':
@@ -89,15 +104,27 @@ class Simulation:
         state, (pe, ke) = jax.lax.scan(body, state, None, length=n_steps)
         return state, pe, ke
 
-    def step(self, n_steps, report_interval=None):
+    def step(self, n_steps, report_interval=None, check_health=True):
         """Advance n_steps. Returns a dict of per-report-interval metrics
-        (potential/kinetic/total energy in kJ/mol, temperature in K)."""
+        (potential/kinetic/total energy in kJ/mol, temperature in K).
+
+        With check_health=True, raises RuntimeError at report boundaries if
+        the SCF failed to converge or a padded neighbor list overflowed
+        (the reference throws in-kernel, cpp:888-894)."""
         report_interval = report_interval or n_steps
         pes, kes, steps = [], [], []
         remaining = n_steps
         while remaining > 0:
             chunk = min(report_interval, remaining)
             self.state, pe, ke = self._step_chunk(self.state, chunk)
+            if check_health:
+                _, _, _, diag = self.potential._energy_forces(self.state.positions)
+                if not bool(self._health(diag)):
+                    raise RuntimeError(
+                        'simulation health check failed: %s' %
+                        {k: diag[k] for k in ('converged', 'iterations', 'epsilon',
+                                              'pair_overflow', 'triplet_overflow')
+                         if k in diag})
             pes.append(float(pe[-1]))
             kes.append(float(ke[-1]))
             steps.append(int(self.state.step))

@@ -257,7 +257,7 @@ def _dipole_field(mu, s3, s5, delta):
 
 
 def scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta, target_epsilon,
-                        max_iterations, extra_field=None):
+                        max_iterations, extra_field=None, mu0=None):
     """SOR fixed-point iteration for the induced dipoles.
 
     Args:
@@ -297,7 +297,8 @@ def scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta, target_epsilon,
         done = converged | (prev_eps < eps) | (it + 1 >= max_iterations)
         return (mu2, eps, it + 1, done, converged)
 
-    mu0 = efield_alpha
+    if mu0 is None:
+        mu0 = efield_alpha       # reference initialization (cpp:422-436)
     mu, eps, iters, _, converged = jax.lax.while_loop(
         cond, body, (mu0, big, jnp.zeros((), jnp.int32),
                      jnp.zeros((), bool), jnp.zeros((), bool)))
@@ -308,7 +309,7 @@ def scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta, target_epsilon,
 # Cluster (NoCutoff) energy and forces
 # ----------------------------------------------------------------------
 
-def cluster_electrostatics(params: ElecParams, positions, mesh=None):
+def cluster_electrostatics(params: ElecParams, positions, mesh=None, mu0=None):
     """Energy (kJ/mol), forces (kJ/mol/nm) and SCF diagnostics.
 
     positions: [N, 3] nm, including M sites (already placed).
@@ -342,7 +343,7 @@ def cluster_electrostatics(params: ElecParams, positions, mesh=None):
     s5 = jnp.where(notself, rr5 * s_dd[5], 0.0)
     mu, diag = scf_induced_dipoles(
         efield * alpha[:, None], alpha, s3, s5, delta,
-        params.target_epsilon, params.max_iterations)
+        params.target_epsilon, params.max_iterations, mu0=mu0)
 
     # ---- energy (cpp:725-732) ----
     mu_dot_d_i = jnp.einsum('id,ijd->ij', mu, delta)        # mu_i . (r_j - r_i)

@@ -193,7 +193,7 @@ def _bn_factors(alpha, r, inv_r, orders=4):
 
 
 def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
-                       mesh=None):
+                       mesh=None, mu0=None):
     """PME energy (kJ/mol), forces (kJ/mol/nm), diagnostics.
 
     positions: [N,3] nm with M sites placed. `mesh` row-shards the dense
@@ -278,7 +278,8 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
 
     mu, diag = elec.scf_induced_dipoles(
         efield * alpha_pol[:, None], alpha_pol, s3_dir, s5_dir, delta,
-        params.target_epsilon, params.max_iterations, extra_field=extra_field)
+        params.target_epsilon, params.max_iterations, extra_field=extra_field,
+        mu0=mu0)
 
     # ---- direct-space energy/forces/potential ----
     mu_dot_d_i = jnp.einsum('id,ijd->ij', mu, delta)

