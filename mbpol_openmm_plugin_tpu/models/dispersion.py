@@ -37,22 +37,22 @@ def dispersion_energy(system: System, positions, cutoff=None):
       cutoff: optional truncation distance in nm (plain truncation, like
         OpenMM CustomNonbondedForce without a switching function).
 
-    The per-pair C6/d6 tables and the exclusion mask are static (atom
-    classes and molecule ids) and precomputed host-side, so the jitted
-    computation is purely dense elementwise math - no gathers.
+    The per-pair C6/d6 tables are expanded on-device from the [N] class
+    vector via one-hot matmuls ([N,4] @ [4,4] @ [4,N]) - avoiding both
+    per-element gathers (serialized on TPU) and [N,N] literals in the HLO.
     """
     ff = _data.load('forcefield')
     dtype = positions.dtype
-    cls = np.asarray(system.atom_class)
-    C6 = jnp.asarray(ff['C6'][cls[:, None], cls[None, :]], dtype)
-    d6 = jnp.asarray(ff['d6'][cls[:, None], cls[None, :]], dtype)
-    excl = np.asarray(system.mol_index)[:, None] != np.asarray(system.mol_index)[None, :]
+    onehot = jnp.asarray(np.eye(4)[np.asarray(system.atom_class)], dtype)  # [N,4]
+    C6 = onehot @ jnp.asarray(ff['C6'], dtype) @ onehot.T
+    d6 = onehot @ jnp.asarray(ff['d6'], dtype) @ onehot.T
+    mol = jnp.asarray(system.mol_index)
 
     delta = positions[None, :, :] - positions[:, None, :]
     delta = minimum_image(delta, system.box if system.periodic else None)
     r2 = jnp.sum(delta * delta, axis=-1)
 
-    mask = jnp.asarray(excl)
+    mask = mol[:, None] != mol[None, :]
     if cutoff is not None:
         mask = mask & (r2 < cutoff * cutoff)
 

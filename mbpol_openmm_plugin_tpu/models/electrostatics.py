@@ -129,26 +129,34 @@ def _pair_tensors(params: ElecParams, positions, periodic_delta=None, mesh=None)
         from mbpol_openmm_plugin_tpu.parallel import mesh as M
         delta = M.constrain(delta, M.row_sharded(mesh))
     r2 = jnp.sum(delta * delta, axis=-1)
-    notself = ~np.eye(n, dtype=bool)
+    # The [N,N] masks/damping/gamma tensors are derived on-device from [N]
+    # vectors - embedding them as host constants would put O(N^2) literals
+    # into the HLO (hundreds of MB at N=8192).
+    idx = jnp.arange(n)
+    notself = idx[:, None] != idx[None, :]
     r = jnp.sqrt(jnp.where(notself, r2, 1.0))
 
-    # damp matrix is static per system: precompute its inverse host-side
-    damping = np.asarray(params.damping, np.float64)
-    inv_damp = 1.0 / (damping[:, None] * damping[None, :]) ** (1.0 / 6.0)
-    u = r * jnp.asarray(inv_damp, positions.dtype)
+    # damp = (A_i A_j)^(1/6); precompute per-particle A^(1/6) host-side
+    d16 = jnp.asarray(np.asarray(params.damping, np.float64) ** (1.0 / 6.0),
+                      positions.dtype)
+    u = r / (d16[:, None] * d16[None, :])
 
-    same_mol = params.mol_index[:, None] == params.mol_index[None, :]
+    mol = jnp.asarray(params.mol_index)
+    same_mol = mol[:, None] == mol[None, :]
     diff_mol = (~same_mol) & notself
 
     # TDD gamma selection (cpp:290-307)
-    is_o = params.atom_type == 0
+    is_o = jnp.asarray(params.atom_type == 0)
     one_is_o = is_o[:, None] | is_o[None, :]
     th = params.thole
-    gamma_dd = np.where(same_mol, np.where(one_is_o, th[TDDOH], th[TDDHH]), th[TDD])
+    dt = positions.dtype
+    gamma_dd = jnp.where(same_mol,
+                         jnp.where(one_is_o, jnp.asarray(th[TDDOH], dt),
+                                   jnp.asarray(th[TDDHH], dt)),
+                         jnp.asarray(th[TDD], dt))
 
     return dict(delta=delta, r=r, u=u, notself=notself,
-                same_mol=same_mol, diff_mol=diff_mol,
-                gamma_dd=jnp.asarray(gamma_dd, positions.dtype))
+                same_mol=same_mol, diff_mol=diff_mol, gamma_dd=gamma_dd)
 
 
 # ----------------------------------------------------------------------
