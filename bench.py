@@ -49,7 +49,8 @@ def build(dtype_bits=32):
     # default 1e-7 is below float32 resolution of the convergence metric.
     pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
                                   target_epsilon=1e-3 if dtype_bits == 32 else 1e-7,
-                                  max_iterations=200))
+                                  max_iterations=200,
+                                  nlist_skin=0.05))
     pot.tune_capacities(pos)
 
     import dataclasses
@@ -59,26 +60,42 @@ def build(dtype_bits=32):
                      1.0 / np.where(np.asarray(sys_.masses) > 0, sys_.masses, 1.0), 0.0)
     inv_m = jnp.asarray(inv_m, dtype)[:, None]
 
+    REBUILD = 25    # rebuild the skinned neighbor lists every 25 steps
+
     def md_chunk(carry, n):
-        """Velocity Verlet with SCF warm-starting: the induced dipoles of the
-        previous step seed the next step's iteration (same converged fixed
-        point, fewer iterations)."""
+        """Velocity Verlet with SCF warm-starting (induced dipoles carried
+        across steps) and neighbor-list reuse (lists built with a 0.05 nm
+        skin are rebuilt only between chunks; energies are exact for any
+        superset list - the switches vanish beyond the physical cutoffs)."""
         def body(c, _):
-            st, mu = c
+            st, mu, nlists = c
             v_half = st.velocities + 0.5 * dt * st.forces * inv_m
             p = st.positions + dt * v_half
-            e, f, parts, diag = pot._energy_forces_impl(p, mu)
+            e, f, parts, diag = pot._energy_forces_impl(p, mu, nlists=nlists)
             v = v_half + 0.5 * dt * f * inv_m
             st = dataclasses.replace(st, positions=p, velocities=v, forces=f,
                                      potential_energy=e, step=st.step + 1)
-            return (st, diag['induced_dipoles']), e
+            return (st, diag['induced_dipoles'], nlists), e
         return jax.lax.scan(body, carry, None, length=n)
 
     e0, f0, parts0, diag0 = pot._energy_forces_impl(pos)
     state = I.MDState(positions=pos, velocities=jnp.zeros_like(pos), forces=f0,
                       potential_energy=e0, box=jnp.asarray(box, dtype),
                       step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(0))
-    step_fn = jax.jit(md_chunk, static_argnames=('n',))
+    inner = jax.jit(md_chunk, static_argnames=('n',))
+
+    def step_fn(carry, n):
+        st, mu = carry
+        done = 0
+        es = []
+        while done < n:
+            chunk = min(REBUILD, n - done)
+            nl, _ = pot.build_neighbor_lists(st.positions)
+            (st, mu, _), e = inner((st, mu, nl), chunk)
+            es.append(e)
+            done += chunk
+        return (st, mu), jnp.concatenate(es)
+
     return (state, diag0['induced_dipoles']), step_fn, float(e0)
 
 

@@ -26,4 +26,16 @@ Layout
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# MB-pol's fitted polynomial coefficients cancel by ~4 orders of magnitude;
+# on TPU the default bf16 matmul passes corrupt energies by O(100 kcal/mol)
+# and forces badly enough to break NVE conservation. Force true-fp32 matmul
+# accumulation process-wide (opt out with MBPOL_NO_PRECISION_OVERRIDE=1; the
+# hot kernels additionally pin precision explicitly).
+if not _os.environ.get('MBPOL_NO_PRECISION_OVERRIDE'):
+    _jax.config.update('jax_default_matmul_precision', 'highest')
+
 from mbpol_openmm_plugin_tpu.utils import units  # noqa: F401

@@ -284,6 +284,12 @@ def scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta, target_epsilon,
     n = efield_alpha.shape[0]
     dtype = efield_alpha.dtype
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+    if dtype == jnp.float32:
+        # the Force-API default target (1e-7, float64-era) is below float32
+        # resolution of the convergence metric; clamp to an achievable floor
+        # (the reference kernel's own default is 1e-3,
+        # MBPolReferenceKernels.cpp:133)
+        target_epsilon = max(target_epsilon, 1e-4)
 
     def one_iter(mu):
         field = _dipole_field(mu, s3, s5, delta)

@@ -43,6 +43,12 @@ class MBPolConfig:
     cutoff_3b: float = 0.45          # XML cutoff_nm (mbpol.xml:34)
     use_neighbor_lists: Optional[bool] = None   # default: n_waters > 24
     neighbor_capacity_factor: float = 1.5
+    # extra margin added to the list cutoffs (Verlet skin). The 2b switch and
+    # 3b switch-product vanish beyond their physical cutoffs, so lists built
+    # with a skin give bit-identical energies while staying valid for many
+    # steps - enabling list reuse across an MD chunk. 0 = reference behavior
+    # (rebuild from exact cutoffs every evaluation).
+    nlist_skin: float = 0.0
     include_charge_redistribution: bool = True
     ewald_error_tolerance: float = 1e-4
     ewald_alpha: Optional[float] = None      # derived from tolerance if None
@@ -107,13 +113,17 @@ class MBPol:
     # ------------------------------------------------------------------
     def _neighbor_lists(self, positions):
         """Padded pair/triplet lists from current O positions (rebuilt every
-        evaluation, like the reference; diag carries overflow counts)."""
+        evaluation unless prebuilt lists are passed in; diag carries overflow
+        counts). Lists use cutoff + nlist_skin."""
         sys_ = self.system
         o_pos = positions[sys_.o_index]
         box = sys_.box
-        pairs, pmask, n_p = neighbors.pair_list(o_pos, box, self.config.cutoff_2b,
+        skin = self.config.nlist_skin
+        pairs, pmask, n_p = neighbors.pair_list(o_pos, box,
+                                                self.config.cutoff_2b + skin,
                                                 self.pair_cap)
-        trips, tmask, n_t = neighbors.triplet_list(o_pos, box, self.config.cutoff_3b,
+        trips, tmask, n_t = neighbors.triplet_list(o_pos, box,
+                                                   self.config.cutoff_3b + skin,
                                                    self.trip_cap)
         if self.mesh is not None:
             from mbpol_openmm_plugin_tpu.parallel import mesh as M
@@ -146,17 +156,21 @@ class MBPol:
             parts['dispersion'] = dispersion_energy(sys_, pos, cutoff=cfg.cutoff)
         return parts
 
-    def _energy_forces_impl(self, positions, mu0=None):
+    def _energy_forces_impl(self, positions, mu0=None, nlists=None):
         """mu0: optional induced-dipole warm start (diag['induced_dipoles']
         of a previous nearby evaluation). Cuts SCF iterations in MD; the
         converged fixed point - and hence the physics - is unchanged within
         target_epsilon. Default (None) reproduces the reference's cold-start
-        initialization each call."""
+        initialization each call.
+
+        nlists: optional prebuilt ((pairs, pmask), (trips, tmask)) from
+        `build_neighbor_lists` - valid for any superset of the physical
+        lists (energies are exact; see nlist_skin)."""
         sys_ = self.system
         positions = make_molecules_whole(sys_, positions)
 
-        nlists, nl_diag = (None, {})
-        if self.use_neighbor_lists:
+        nl_diag = {}
+        if nlists is None and self.use_neighbor_lists:
             pl, tl, nl_diag = self._neighbor_lists(positions)
             nlists = (pl, tl)
 
@@ -209,8 +223,9 @@ class MBPol:
         pos = make_molecules_whole(self.system, jnp.asarray(positions))
         o = np.asarray(pos[self.system.o_index])
         box = self.system.box
-        _, n_p = native.pair_list(o, box, self.config.cutoff_2b)
-        _, n_t = native.triplet_list(o, box, self.config.cutoff_3b)
+        skin = self.config.nlist_skin
+        _, n_p = native.pair_list(o, box, self.config.cutoff_2b + skin)
+        _, n_t = native.triplet_list(o, box, self.config.cutoff_3b + skin)
         self.pair_cap = max(int(margin * n_p) + 16, 64)
         self.trip_cap = max(int(margin * n_t) + 32, 128)
         if self.mesh is not None:
@@ -221,6 +236,15 @@ class MBPol:
         self._energy_forces = jax.jit(self._energy_forces_impl)
         self._energy_forces_warm = jax.jit(self._energy_forces_impl)
         return self
+
+    def build_neighbor_lists(self, positions):
+        """Jitted list build for reuse across an MD chunk (pair with
+        nlist_skin > 0 so the lists stay valid between rebuilds)."""
+        if not hasattr(self, '_nl_jit'):
+            self._nl_jit = jax.jit(lambda p: self._neighbor_lists(
+                make_molecules_whole(self.system, p)))
+        pl, tl, diag = self._nl_jit(positions)
+        return (pl, tl), diag
 
     def energy_forces(self, positions, mu0=None):
         """Returns (total energy kJ/mol, forces kJ/mol/nm [natoms,3],

@@ -32,8 +32,9 @@ _ECOL = VP - 1  # accumulator column holding the energy
 
 
 def _kernel(logx_ref, e_ref, et_ref, c_ref, out_ref, acc_ref):
-    # NOTE: the contractions must run at true float32 - the fit coefficients
-    # cancel heavily and bf16(x2) passes lose 1-6% of the energy (measured).
+    # NOTE: Mosaic only lowers DEFAULT/HIGHEST dot precision; HIGHEST is
+    # required anyway-ish (plain bf16 corrupts the cancelling coefficient
+    # sums by O(100 kcal/mol); bf16x2 loses 1-6%).
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -41,9 +42,11 @@ def _kernel(logx_ref, e_ref, et_ref, c_ref, out_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     mono = jnp.exp(jnp.dot(logx_ref[:], e_ref[:],
-                           preferred_element_type=jnp.float32))     # [TP, TM]
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST))    # [TP, TM]
     mc = mono * c_ref[:]
-    g = jnp.dot(mc, et_ref[:], preferred_element_type=jnp.float32)  # [TP, VP]
+    g = jnp.dot(mc, et_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)                # [TP, VP]
     e = jnp.sum(mc, axis=1, keepdims=True)                          # [TP, 1]
     acc_ref[:] += g
     acc_ref[:, _ECOL:_ECOL + 1] += e
@@ -78,8 +81,8 @@ def _fused_call(logx, E, Et, c):
         grid=grid,
         in_specs=[
             pl.BlockSpec((TP, VP), lambda i, j: (i, 0)),
-            pl.BlockSpec((VP, TM), lambda i, j: (0, j)),      # bf16 exponents
-            pl.BlockSpec((TM, VP), lambda i, j: (j, 0)),      # bf16 exponents^T
+            pl.BlockSpec((VP, TM), lambda i, j: (0, j)),
+            pl.BlockSpec((TM, VP), lambda i, j: (j, 0)),
             pl.BlockSpec((1, TM), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((TP, VP), lambda i, j: (i, 0)),

@@ -47,9 +47,10 @@ def load_pip(name):
 
 
 # PIP fits have large canceling coefficients (|c| up to ~1e5 summing to
-# ~kcal/mol), so the contractions must run at true float32 or better on the
-# MXU - never bf16 passes.
-_PREC = jax.lax.Precision.HIGHEST
+# ~kcal/mol): plain bf16 matmul passes corrupt the energy by O(100 kcal/mol).
+# HIGH (bf16x3) measures identical to HIGHEST here (f32-input rounding
+# dominates the residual error), so HIGH is used for speed.
+_PREC = jax.lax.Precision.HIGH
 
 
 def pip_energy(x, exponents, coeffs):

@@ -81,3 +81,22 @@ def test_triplet_energy_permutation_invariance():
     e1 = three_body_energy(sys_, pos, t, tmask)
     e2 = three_body_energy(sys_, pos, t[:, [2, 0, 1]], tmask)
     np.testing.assert_allclose(float(e1), float(e2), rtol=1e-10)
+
+
+def test_skinned_lists_give_identical_energies():
+    """Lists built with a Verlet skin are a superset of the physical lists;
+    the 2b/3b switches vanish beyond their cutoffs, so energies are exact."""
+    box = [1.8] * 3
+    sys_, pos = fixtures.load_system('water50', box=box)
+    pos = make_molecules_whole(sys_, pos)
+    o = pos[sys_.o_index]
+    for cutoff, term in ((0.65, two_body_energy), (0.45, three_body_energy)):
+        cap = (neighbors.pair_capacity(50, box, cutoff + 0.1) if term is two_body_energy
+               else neighbors.triplet_capacity(50, box, cutoff + 0.1))
+        if term is two_body_energy:
+            lst, mask, _ = neighbors.pair_list(o, box, cutoff + 0.1, cap)
+        else:
+            lst, mask, _ = neighbors.triplet_list(o, box, cutoff + 0.1, cap)
+        e_skin = term(sys_, pos, lst, mask)
+        e_dense = term(sys_, pos)
+        np.testing.assert_allclose(float(e_skin), float(e_dense), rtol=1e-9)  # identical up to summation order
