@@ -31,6 +31,13 @@ class SimulationConfig:
     friction: float = 1.0                # 1/ps (Langevin)
     barostat_pressure: Optional[float] = None   # bar; None = no barostat
     barostat_interval: int = 25
+    # SCF warm start: seed each step's induced-dipole iteration with the
+    # previous step's dipoles (same converged fixed point, fewer iterations).
+    scf_warm_start: bool = True
+    # rebuild the padded neighbor lists every k steps instead of every step
+    # (requires the potential's nlist_skin > 0 to be exact; with skin 0 the
+    # lists are rebuilt every step, matching the reference).
+    nlist_rebuild_interval: int = 1
 
 
 class Simulation:
@@ -82,27 +89,68 @@ class Simulation:
                 ok = ok & ~diag[k]
         return ok
 
-    def _one_step(self, state):
+    def _one_step(self, state, mu=None, nlists=None):
         cfg = self.config
+
+        def ef(p):
+            e, f, parts, diag = self.potential._energy_forces_impl(
+                p, mu if cfg.scf_warm_start else None, nlists=nlists)
+            return e, f, diag.get('induced_dipoles')
+
+        mu_out = [mu]
+
+        def ef2(p):
+            e, f, m = ef(p)
+            mu_out[0] = m
+            return e, f
+
         if cfg.temperature is not None and cfg.thermostat == 'langevin':
-            state = I.langevin_step(self.system, self._energy_forces, state,
+            state = I.langevin_step(self.system, ef2, state,
                                     cfg.dt, cfg.temperature, cfg.friction)
         else:
-            state = I.velocity_verlet_step(self.system, self._energy_forces,
-                                           state, cfg.dt)
+            state = I.velocity_verlet_step(self.system, ef2, state, cfg.dt)
             if cfg.temperature is not None and cfg.thermostat == 'andersen':
                 state = I.andersen_thermostat(self.system, state, cfg.dt,
                                               cfg.temperature, cfg.collision_frequency)
-        return state
+        return state, mu_out[0]
 
     def _step_chunk_impl(self, state, n_steps):
-        def body(s, _):
-            s = self._one_step(s)
-            ke = I.kinetic_energy(self.system, s.velocities)
-            return s, (s.potential_energy, ke)
+        cfg = self.config
+        reuse = max(int(cfg.nlist_rebuild_interval), 1)
+        use_nl = self.potential.use_neighbor_lists
 
-        state, (pe, ke) = jax.lax.scan(body, state, None, length=n_steps)
-        return state, pe, ke
+        def scan_group(state, mu, n):
+            nlists = None
+            if use_nl and reuse > 1:
+                pl, tl, _ = self.potential._neighbor_lists(state.positions)
+                nlists = (pl, tl)
+
+            def body(carry, _):
+                s, m = carry
+                s, m = self._one_step(s, m, nlists)
+                ke = I.kinetic_energy(self.system, s.velocities)
+                return (s, m), (s.potential_energy, ke)
+
+            (state, mu), out = jax.lax.scan(body, (state, mu), None, length=n)
+            return state, mu, out
+
+        mu = None
+        if cfg.scf_warm_start and self.potential.elec_params is not None:
+            n = self.system.n_atoms
+            mu = jnp.zeros((n, 3), state.positions.dtype)
+            # seed from a cold-start evaluation of the current positions
+            _, _, _, diag0 = self.potential._energy_forces_impl(state.positions)
+            mu = diag0.get('induced_dipoles', mu)
+
+        pes, kes = [], []
+        done = 0
+        while done < n_steps:
+            n = min(reuse if reuse > 1 else n_steps, n_steps - done)
+            state, mu, (pe, ke) = scan_group(state, mu, n)
+            pes.append(pe)
+            kes.append(ke)
+            done += n
+        return state, jnp.concatenate(pes), jnp.concatenate(kes)
 
     def step(self, n_steps, report_interval=None, check_health=True):
         """Advance n_steps. Returns a dict of per-report-interval metrics

@@ -56,6 +56,10 @@ class MBPolConfig:
     target_epsilon: float = 1e-7
     max_iterations: int = 200
     thole: Optional[tuple] = None    # override [TCC,TCD,TDD,TDDOH,TDDHH]; default XML values
+    # 'dense' ([N,N] tensors, exact at any cutoff), 'sparse' (molecule-pair
+    # list direct space, O(N) memory - production boxes), or 'auto'
+    # (sparse for PME above 512 waters)
+    electrostatics_mode: str = 'auto'
     terms: tuple = ('electrostatics', 'one_body', 'two_body', 'three_body', 'dispersion')
 
 
@@ -93,6 +97,18 @@ class MBPol:
             self.pme = pme_mod.PmeSetup.from_config(system, config)
         else:
             self.pme = None
+        mode = config.electrostatics_mode
+        if mode == 'auto':
+            mode = 'sparse' if (self.pme is not None and system.n_waters > 512) else 'dense'
+        self.elec_mode = mode
+        if self.elec_mode == 'sparse':
+            if self.pme is None:
+                raise ValueError('sparse electrostatics requires PME')
+            from mbpol_openmm_plugin_tpu.models import pme_sparse
+            cut = config.cutoff + pme_sparse.PAIR_MARGIN + config.nlist_skin
+            self.elec_pair_cap = neighbors.pair_capacity(
+                system.n_waters, system.box, cut,
+                factor=config.neighbor_capacity_factor)
         use_nl = config.use_neighbor_lists
         self.use_neighbor_lists = system.n_waters > 24 if use_nl is None else use_nl
         if self.use_neighbor_lists:
@@ -186,7 +202,15 @@ class MBPol:
 
         if self.elec_params is not None:
             pos_v = compute_virtual_sites(sys_, positions)
-            if self.pme is not None:
+            if self.pme is not None and self.elec_mode == 'sparse':
+                from mbpol_openmm_plugin_tpu.models import pme_sparse
+                cut = self.config.cutoff + pme_sparse.PAIR_MARGIN + self.config.nlist_skin
+                mp, mp_mask, n_mp = neighbors.pair_list(
+                    pos_v[sys_.o_index], sys_.box, cut, self.elec_pair_cap)
+                diag['elec_pair_overflow'] = n_mp > self.elec_pair_cap
+                e_elec, f_elec, ediag = pme_sparse.pme_electrostatics_sparse(
+                    self.elec_params, self.pme, pos_v, mp, mp_mask, mu0=mu0)
+            elif self.pme is not None:
                 e_elec, f_elec, ediag = pme_mod.pme_electrostatics(
                     self.elec_params, self.pme, pos_v, mesh=self.mesh, mu0=mu0)
             else:
@@ -228,6 +252,11 @@ class MBPol:
         _, n_t = native.triplet_list(o, box, self.config.cutoff_3b + skin)
         self.pair_cap = max(int(margin * n_p) + 16, 64)
         self.trip_cap = max(int(margin * n_t) + 32, 128)
+        if getattr(self, 'elec_mode', 'dense') == 'sparse':
+            from mbpol_openmm_plugin_tpu.models import pme_sparse
+            cut = self.config.cutoff + pme_sparse.PAIR_MARGIN + skin
+            _, n_e = native.pair_list(o, box, cut)
+            self.elec_pair_cap = max(int(margin * n_e) + 16, 64)
         if self.mesh is not None:
             from mbpol_openmm_plugin_tpu.parallel import mesh as M
             ndev = self.mesh.devices.size
