@@ -114,8 +114,13 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
     u_in = r_in * inv_damp[None]
     s_dd_in = elec.thole_scales(u_in, gamma_intra[None], orders=(3, 5))
 
-    def seg(vals, idx):
-        return jax.ops.segment_sum(vals, idx, num_segments=nmol)
+    def seg(vals, idx, is_sorted=False):
+        return jax.ops.segment_sum(vals, idx, num_segments=nmol,
+                                   indices_are_sorted=is_sorted)
+
+    def seg_a(vals):
+        # pair lists from ops/neighbors.py emit ascending first indices
+        return seg(vals, ia, is_sorted=True)
 
     # ---- fixed field ----
     # reciprocal (shared grid machinery)
@@ -132,7 +137,7 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
     kdir = jnp.where(within, bn1 - (s_cc[3] - 1.0) * rr3, 0.0)
     fa = -jnp.einsum('pab,pb,pabd->pad', kdir, qb, delta)
     fb = jnp.einsum('pab,pa,pabd->pbd', kdir, qa, delta)
-    efield = efield + seg(fa, ia) + seg(fb, ib)
+    efield = efield + seg_a(fa) + seg(fb, ib)
     # direct intra: same-water s3 := 2 (cpp:1382-1384)
     kdir_in = bn_in[1] - rr3_in
     efield = efield - jnp.einsum('mab,mb,mabd->mad', kdir_in, q4, delta_in)
@@ -162,7 +167,7 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
         dota = jnp.einsum('pad,pabd->pab', mua, delta)
         fb = jnp.einsum('pab,pabd->pbd', pf2 * dota, delta) \
             + jnp.einsum('pab,pad->pbd', pf1, mua)
-        field = seg(fa, ia) + seg(fb, ib)
+        field = seg_a(fa) + seg(fb, ib)
         dot_in = jnp.einsum('mbd,mabd->mab', mu4, delta_in)
         field = field + jnp.einsum('mab,mabd->mad', pf2_in * dot_in, delta_in) \
                       + jnp.einsum('mab,mbd->mad', pf1_in, mu4)
@@ -237,7 +242,7 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
           - jnp.einsum('pab,pad->pabd', w3 * qb[:, None, :], mua)
     # dense convention: force_i = -f * sum_j F_ij; F is antisymmetric under
     # (a<->b, delta -> -delta), so b-sites get the negated a-row sums
-    force_pair4 = seg(jnp.sum(F, axis=2), ia) - seg(jnp.sum(F, axis=1), ib)
+    force_pair4 = seg_a(jnp.sum(F, axis=2)) - seg(jnp.sum(F, axis=1), ib)
 
     # intramolecular forces (same structure, zeroed qq/cd scales)
     coeff_in = (bn_in[1] - rr3_in) * qq_in \
@@ -261,7 +266,7 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
     k3 = jnp.where(within, bn1 - rr3 * (1.0 - s_cd[3]), 0.0)
     pot_a = jnp.einsum('pab,pb->pa', k1, qb) - jnp.sum(k3 * dot_b, axis=2)
     pot_b = jnp.einsum('pab,pa->pb', k1, qa) + jnp.sum(k3 * dot_a, axis=1)
-    pot4 = seg(pot_a, ia) + seg(pot_b, ib)
+    pot4 = seg_a(pot_a) + seg(pot_b, ib)
     k1_in = bn_in[0] - inv_r_in
     k3_in = bn_in[1] - rr3_in
     pot4 = pot4 + jnp.einsum('mab,mb->ma', k1_in, q4) - jnp.sum(k3_in * dot_in, axis=2)
