@@ -22,7 +22,10 @@ pdb.topology.setUnitCellDimensions((boxDim, boxDim, boxDim) * unit.nanometer)
 forcefield = app.ForceField(app.mbpol_xml_path())
 
 ewaldErrorTolerance = 1e-4
-timestep = 2 * unit.femtoseconds
+# NOTE: the reference example uses 2 fs (python/example_nvt_nve.py:16), which
+# is marginal for flexible MB-pol water (OH period ~9 fs) and unstable in
+# float32; 0.5 fs is stable. (The reference's own cluster configs use 0.2 fs.)
+timestep = 0.5 * unit.femtoseconds
 production_steps = int(os.environ.get('PRODUCTION_STEPS', 100))
 
 # ----------------------------- NVT -----------------------------
