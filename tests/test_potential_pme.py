@@ -45,3 +45,29 @@ def test_water256_pme_total():
     box = 19.3996888399961804 / 10.0
     e_kcal, parts = _total('water256_integration_test', [box, box, box])
     assert abs(e_kcal - (-2270.88890)) < 20.0, (e_kcal, {k: float(v) / 4.184 for k, v in parts.items()})
+
+
+def test_pme_force_consistency_finite_difference():
+    """PME total forces must equal -dE/dx including the per-site-potential
+    charge-derivative contributions (the reference's trickiest path,
+    cpp:2767-2773)."""
+    import jax.numpy as jnp
+
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+    sys_, pos = fixtures.load_system('water50', box=[1.8, 1.8, 1.8])
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
+                                  target_epsilon=1e-10))
+    _, forces, _, _ = pot.energy_forces(pos)
+    rng = np.random.default_rng(3)
+    h = 2e-6
+    for _ in range(4):
+        i = int(rng.integers(0, sys_.n_atoms))
+        if i % 4 == 3:
+            i -= 1          # M-site coordinates are overwritten by vsites
+        d = int(rng.integers(0, 3))
+        p1 = pos.at[i, d].add(h)
+        p2 = pos.at[i, d].add(-h)
+        fd = -(float(pot.energy(p1)) - float(pot.energy(p2))) / (2 * h)
+        # tolerance allows for the hard 0.9 nm truncation of the direct-space
+        # sum (discontinuous in the reference as well) and residual SCF noise
+        np.testing.assert_allclose(float(forces[i, d]), fd, rtol=1e-3, atol=5e-3)
