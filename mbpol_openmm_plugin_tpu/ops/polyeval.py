@@ -78,29 +78,59 @@ def pip_energy_and_grad(x, exponents, coeffs):
     return e, g
 
 
-def _use_pallas(dtype):
+@functools.lru_cache(maxsize=None)
+def load_quad(name):
+    """Quadratic-form factorization (tools/factor_pip.py):
+    E(x) = m2(x)^T W m2(x) over the degree-<=2 monomial basis."""
+    d = _data.load(name + '_quad')
+    return np.asarray(d['basis_exponents']), np.asarray(d['W'])
+
+
+def pip_quad_energy_and_grad(x, F, W):
+    """Quadratic-form PIP evaluation: ~18x fewer FLOPs than the monomial
+    expansion (528/703-column basis instead of 12.7k/33.5k monomials), with
+    the gradient reusing the W matvec: dE/dm2 = 2 W m2."""
+    Ft = F.astype(x.dtype)
+    Wt = W.astype(x.dtype)
+    logx = jnp.log(x)
+    m2 = jnp.exp(jnp.dot(logx, Ft.T, precision=_PREC))      # [P, B]
+    wm = jnp.dot(m2, Wt, precision=jax.lax.Precision.HIGHEST)
+    e = jnp.sum(m2 * wm, axis=-1)
+    g = jnp.dot(m2 * (2.0 * wm), Ft, precision=_PREC) / x
+    return e, g
+
+
+def _pip_impl_choice(dtype):
+    """'quad' (default): quadratic-form factorization, fastest everywhere.
+    'pallas': fused monomial kernel (TPU f32 only). 'monomial': plain jnp
+    monomial matmuls. Override with MBPOL_PIP_IMPL."""
     import os
-    if os.environ.get('MBPOL_NO_PALLAS'):
-        return False
-    return dtype == jnp.float32 and jax.default_backend() not in ('cpu',)
+    choice = os.environ.get('MBPOL_PIP_IMPL', 'quad')
+    if choice == 'pallas' and (dtype != jnp.float32
+                               or jax.default_backend() == 'cpu'):
+        return 'monomial'
+    return choice
 
 
 @functools.lru_cache(maxsize=None)
 def pip_apply(name):
-    """Batched PIP energy fn with a fused-kernel VJP.
+    """Batched PIP energy fn with an analytic-gradient VJP.
 
-    Returns f(x[P, nvars]) -> e[P], differentiable once. On TPU/float32 the
-    energy and gradient come from the fused Pallas kernel
-    (ops/pip_pallas.py); elsewhere from the jnp matmul formulation. The
+    Returns f(x[P, nvars]) -> e[P], differentiable once. The default
+    implementation is the quadratic-form factorization (load_quad); the
     gradient is saved as the VJP residual so reverse-mode never
-    rematerializes the monomial matrix.
+    rematerializes the basis/monomial matrices.
     """
     pip = load_pip(name)
     exponents = pip.exponents
     coeffs = pip.coeffs
 
     def impl(x):
-        if _use_pallas(x.dtype):
+        choice = _pip_impl_choice(x.dtype)
+        if choice == 'quad':
+            F, W = load_quad(name)
+            return pip_quad_energy_and_grad(x, jnp.asarray(F), jnp.asarray(W))
+        if choice == 'pallas':
             from mbpol_openmm_plugin_tpu.ops.pip_pallas import pip_energy_grad_tpu
             return pip_energy_grad_tpu(name, x)
         return pip_energy_and_grad(x, jnp.asarray(exponents), jnp.asarray(coeffs))
