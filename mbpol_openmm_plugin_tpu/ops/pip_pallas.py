@@ -93,6 +93,70 @@ def _fused_call(logx, E, Et, c):
     )(logx, E, Et, c)
 
 
+# ----------------------------------------------------------------------
+# Fused quadratic-form kernel: E = m2^T W m2 with the whole W resident in
+# VMEM (~2.3 MB for the 703-basis), single pass over row tiles - no HBM
+# round-trips for m2/wm at all.
+# ----------------------------------------------------------------------
+
+BQ = 768   # padded basis size (528/703 -> 768)
+
+
+def _quad_kernel(logx_ref, f_ref, ft_ref, w_ref, out_ref):
+    m2 = jnp.exp(jnp.dot(logx_ref[:], f_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST))      # [TP, BQ]
+    wm = jnp.dot(m2, w_ref[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)               # [TP, BQ]
+    g = jnp.dot(m2 * (2.0 * wm), ft_ref[:],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)                # [TP, VP]
+    e = jnp.sum(m2 * wm, axis=1, keepdims=True)
+    out_ref[:] = g
+    out_ref[:, _ECOL:_ECOL + 1] = e
+
+
+@functools.lru_cache(maxsize=None)
+def _quad_tables(name):
+    from mbpol_openmm_plugin_tpu.ops.polyeval import load_quad
+    F, W = load_quad(name)
+    b, nv = F.shape
+    assert nv < _ECOL and b <= BQ
+    Fp = np.zeros((VP, BQ), np.float32)
+    Fp[:nv, :b] = F.T
+    Wp = np.zeros((BQ, BQ), np.float32)
+    Wp[:b, :b] = W
+    # padded basis columns have exponent rows all-zero -> m2 = exp(0) = 1,
+    # but their W rows/cols are zero so they contribute nothing.
+    return Fp, np.ascontiguousarray(Fp.T), Wp
+
+
+def pip_quad_energy_grad_tpu(name, x):
+    """Fused quadratic-form energy + dE/dx on TPU. x: [P, nvars] float32."""
+    Fp, Fpt, Wp = _quad_tables(name)
+    p, nv = x.shape
+    pp = ((p + TP - 1) // TP) * TP
+    logx = jnp.pad(jnp.log(x), ((0, pp - p), (0, VP - nv)))
+    out = pl.pallas_call(
+        _quad_kernel,
+        out_shape=jax.ShapeDtypeStruct((pp, VP), jnp.float32),
+        grid=(pp // TP,),
+        in_specs=[
+            pl.BlockSpec((TP, VP), lambda i: (i, 0)),
+            pl.BlockSpec((VP, BQ), lambda i: (0, 0)),
+            pl.BlockSpec((BQ, VP), lambda i: (0, 0)),
+            pl.BlockSpec((BQ, BQ), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TP, VP), lambda i: (i, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pp * BQ * (BQ + 2 * VP), transcendentals=pp * BQ,
+            bytes_accessed=pp * VP * 8 + BQ * BQ * 4),
+    )(logx, jnp.asarray(Fp), jnp.asarray(Fpt), jnp.asarray(Wp))
+    e = out[:p, _ECOL]
+    g = out[:p, :nv] / x
+    return e, g
+
+
 def pip_energy_grad_tpu(name, x):
     """Fused energy + dE/dx for one PIP on TPU.
 

@@ -90,6 +90,11 @@ def pip_quad_energy_and_grad(x, F, W):
     """Quadratic-form PIP evaluation: ~18x fewer FLOPs than the monomial
     expansion (528/703-column basis instead of 12.7k/33.5k monomials), with
     the gradient reusing the W matvec: dE/dm2 = 2 W m2."""
+    # The W matvec must run at HIGHEST: its coefficient cancellation on
+    # *physical* configurations (variables spanning e-4..1) loses ~46
+    # kcal/mol on water256 at HIGH/bf16x3 (random-point tests do not expose
+    # this). The basis/gradient contractions (integer exponents, benign
+    # ranges) are fine at HIGH.
     Ft = F.astype(x.dtype)
     Wt = W.astype(x.dtype)
     logx = jnp.log(x)
@@ -128,8 +133,15 @@ def pip_apply(name):
     def impl(x):
         choice = _pip_impl_choice(x.dtype)
         if choice == 'quad':
+            # XLA path: Mosaic cannot lower HIGH-precision dots, and the
+            # fused Pallas variant (pip_quad_energy_grad_tpu) is 9x slower
+            # at HIGHEST; XLA fuses this fine.
             F, W = load_quad(name)
             return pip_quad_energy_and_grad(x, jnp.asarray(F), jnp.asarray(W))
+        if choice == 'quad_pallas':
+            from mbpol_openmm_plugin_tpu.ops.pip_pallas import \
+                pip_quad_energy_grad_tpu
+            return pip_quad_energy_grad_tpu(name, x)
         if choice == 'pallas':
             from mbpol_openmm_plugin_tpu.ops.pip_pallas import pip_energy_grad_tpu
             return pip_energy_grad_tpu(name, x)
