@@ -91,10 +91,12 @@ class Simulation:
 
     def _one_step(self, state, mu=None, nlists=None):
         cfg = self.config
+        # with a barostat the box is dynamic state; otherwise it is static
+        box = state.box if cfg.barostat_pressure is not None else None
 
         def ef(p):
             e, f, parts, diag = self.potential._energy_forces_impl(
-                p, mu if cfg.scf_warm_start else None, nlists=nlists)
+                p, mu if cfg.scf_warm_start else None, nlists=nlists, box=box)
             return e, f, diag.get('induced_dipoles')
 
         mu_out = [mu]
@@ -122,7 +124,8 @@ class Simulation:
         def scan_group(state, mu, n):
             nlists = None
             if use_nl and reuse > 1:
-                pl, tl, _ = self.potential._neighbor_lists(state.positions)
+                box = state.box if cfg.barostat_pressure is not None else None
+                pl, tl, _ = self.potential._neighbor_lists(state.positions, box=box)
                 nlists = (pl, tl)
 
             def body(carry, _):
@@ -142,11 +145,30 @@ class Simulation:
             _, _, _, diag0 = self.potential._energy_forces_impl(state.positions)
             mu = diag0.get('induced_dipoles', mu)
 
+        baro = (cfg.barostat_pressure is not None and cfg.temperature is not None
+                and self.system.periodic)
+        group = reuse if reuse > 1 else (cfg.barostat_interval if baro else n_steps)
+        if baro:
+            group = min(group, cfg.barostat_interval)
+
+            def energy_at(p, box):
+                # trial energy at the rescaled box: the box is a traced input
+                # of the potential (min-images, PME eterm/scales); the PME
+                # grid dimensions and alpha stay at their construction values,
+                # valid for small volume fluctuations.
+                e, _, _, _ = self.potential._energy_forces_impl(p, box=box)
+                return e
+
         pes, kes = [], []
         done = 0
         while done < n_steps:
-            n = min(reuse if reuse > 1 else n_steps, n_steps - done)
+            n = min(group, n_steps - done)
             state, mu, (pe, ke) = scan_group(state, mu, n)
+            if baro:
+                state, accepted = I.monte_carlo_barostat_move(
+                    self.system, energy_at, state, cfg.temperature,
+                    cfg.barostat_pressure,
+                    scale_state=0.01 * state.box[0] * state.box[1] * state.box[2])
             pes.append(pe)
             kes.append(ke)
             done += n

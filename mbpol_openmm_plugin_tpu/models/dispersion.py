@@ -28,7 +28,7 @@ def tt6(x):
     return 1.0 - jnp.exp(-x) * s
 
 
-def dispersion_energy(system: System, positions, cutoff=None):
+def dispersion_energy(system: System, positions, cutoff=None, box=None):
     """Total dispersion energy in kJ/mol.
 
     Args:
@@ -49,7 +49,8 @@ def dispersion_energy(system: System, positions, cutoff=None):
     mol = jnp.asarray(system.mol_index)
 
     delta = positions[None, :, :] - positions[:, None, :]
-    delta = minimum_image(delta, system.box if system.periodic else None)
+    delta = minimum_image(delta, (system.box if box is None else box)
+                          if system.periodic else None)
     r2 = jnp.sum(delta * delta, axis=-1)
 
     mask = mol[:, None] != mol[None, :]

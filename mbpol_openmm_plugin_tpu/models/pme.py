@@ -74,7 +74,7 @@ class PmeSetup:
 _NDERIV = 3   # spline value + 1st + 2nd derivative (all that charges need)
 
 
-def _spline_matrices(setup: PmeSetup, positions):
+def _spline_matrices(setup: PmeSetup, positions, box=None):
     """Separable one-hot spline matrices.
 
     Returns (Sx [N, nx, 3], Sy [N, ny, 3], Sz [N, nz, 3]) with
@@ -85,7 +85,7 @@ def _spline_matrices(setup: PmeSetup, positions):
     dense matmuls - no scatter/gather, which are serialized on TPU.
     """
     dims = jnp.asarray(setup.grid)
-    box = jnp.asarray(setup.box, positions.dtype)
+    box = jnp.asarray(setup.box if box is None else box, positions.dtype)
     pos = positions - jnp.floor(positions / box + 0.5) * box
     w = pos / box                                 # in [-0.5, 0.5)
     fr = dims * (w + 0.5)
@@ -123,41 +123,46 @@ def _readback_separable(grid, Sx, Sy, Sz):
     return jnp.einsum('nabk,nkc->nabc', t2, Sz)
 
 
-def _convolve(setup: PmeSetup, grid, dtype):
+def _convolve(setup: PmeSetup, grid, dtype, box=None):
     """Forward FFT, reciprocal eterm multiply, backward (unnormalized) FFT.
-    (performMBPolReciprocalConvolution, cpp:1676-1713)."""
+    (performMBPolReciprocalConvolution, cpp:1676-1713). The eterm is a cheap
+    elementwise function of the (possibly traced) box, so NPT volume moves
+    work without recompilation."""
     nx, ny, nz = setup.grid
     gk = jnp.fft.fftn(grid)
-    eterm = jnp.asarray(_eterm_table(setup), dtype)
-    gk = gk * eterm
+    gk = gk * _eterm(setup, grid.dtype if box is None else None, box)
     ntot = nx * ny * nz
     # real input, real symmetric kernel -> real result (unnormalized backward)
     return jnp.real(jnp.fft.ifftn(gk) * ntot)
 
 
 @functools.lru_cache(maxsize=None)
-def _eterm_table(setup: PmeSetup):
+def _eterm_static(setup: PmeSetup):
+    """(m-vector grids and B-spline modulus product; box-independent.)"""
     nx, ny, nz = setup.grid
-    box = np.asarray(setup.box)
-    alpha = setup.alpha
     mods = bspline_moduli(setup.grid)
-    kx = np.arange(nx)
-    ky = np.arange(ny)
-    kz = np.arange(nz)
-    mx = np.where(kx < (nx + 1) // 2, kx, kx - nx)
-    my = np.where(ky < (ny + 1) // 2, ky, ky - ny)
-    mz = np.where(kz < (nz + 1) // 2, kz, kz - nz)
-    mhx = mx / box[0]
-    mhy = my / box[1]
-    mhz = mz / box[2]
-    m2 = (mhx[:, None, None] ** 2 + mhy[None, :, None] ** 2 + mhz[None, None, :] ** 2)
+    def mvec(k, n):
+        k = np.arange(n)
+        return np.where(k < (n + 1) // 2, k, k - n).astype(np.float64)
+    mx, my, mz = mvec(None, nx), mvec(None, ny), mvec(None, nz)
     b = mods[0][:, None, None] * mods[1][None, :, None] * mods[2][None, None, :]
+    return mx, my, mz, b
+
+
+def _eterm(setup: PmeSetup, dtype=None, box=None):
+    mx, my, mz, b = _eterm_static(setup)
+    box = np.asarray(setup.box) if box is None else box
+    alpha = setup.alpha
+    mhx = jnp.asarray(mx) / box[0]
+    mhy = jnp.asarray(my) / box[1]
+    mhz = jnp.asarray(mz) / box[2]
+    m2 = (mhx[:, None, None] ** 2 + mhy[None, :, None] ** 2
+          + mhz[None, None, :] ** 2)
     expfac = np.pi * np.pi / (alpha * alpha)
     scale = 1.0 / (np.pi * box[0] * box[1] * box[2])
-    with np.errstate(divide='ignore', invalid='ignore'):
-        et = scale * np.exp(-expfac * m2) / (m2 * b)
-    et[0, 0, 0] = 0.0
-    return et
+    m2safe = jnp.where(m2 > 0, m2, 1.0)
+    et = scale * jnp.exp(-expfac * m2safe) / (m2safe * jnp.asarray(b))
+    return jnp.where(m2 > 0, et, 0.0)
 
 
 # phi component layout of the reference (cpp:1800-1819):
@@ -193,7 +198,7 @@ def _bn_factors(alpha, r, inv_r, orders=4):
 
 
 def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
-                       mesh=None, mu0=None):
+                       mesh=None, mu0=None, box=None):
     """PME energy (kJ/mol), forces (kJ/mol/nm), diagnostics.
 
     positions: [N,3] nm with M sites placed. `mesh` row-shards the dense
@@ -203,8 +208,8 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
     f_elec = units.ELECTRIC
     alpha = setup.alpha
     n = len(params.damping)
-    box = np.asarray(setup.box)
-    pscale = jnp.asarray(np.asarray(setup.grid) / box, dtype)   # dims/box
+    box = np.asarray(setup.box) if box is None else box
+    pscale = jnp.asarray(np.asarray(setup.grid), dtype) / jnp.asarray(box, dtype)
 
     charges, dq_w = elec.assemble_charges(params, positions)
     alpha_pol = jnp.asarray(params.polarity, dtype)
@@ -237,13 +242,13 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
     s_dd = elec.thole_scales(u, t['gamma_dd'], orders=(3, 5, 7))
 
     # ---- grid machinery (separable spline matrices; matmuls only) ----
-    Sx, Sy, Sz = _spline_matrices(setup, positions)
+    Sx, Sy, Sz = _spline_matrices(setup, positions, box=box)
     sx0, sy0, sz0 = Sx[..., 0], Sy[..., 0], Sz[..., 0]
     sx1, sy1, sz1 = Sx[..., 1], Sy[..., 1], Sz[..., 1]
 
     def fixed_grid_phi():
         grid = _spread_separable(setup, charges[:, None] * sx0, sy0, sz0)
-        conv = _convolve(setup, grid, dtype)
+        conv = _convolve(setup, grid, dtype, box=box)
         return _readback_separable(conv, Sx, Sy, Sz)
 
     P_fixed = fixed_grid_phi()                            # [N,3,3,3] fractional derivs
@@ -268,7 +273,7 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
         grid = (_spread_separable(setup, smu[:, 0:1] * sx1, sy0, sz0)
                 + _spread_separable(setup, smu[:, 1:2] * sx0, sy1, sz0)
                 + _spread_separable(setup, smu[:, 2:3] * sx0, sy0, sz1))
-        conv = _convolve(setup, grid, dtype)
+        conv = _convolve(setup, grid, dtype, box=box)
         return _readback_separable(conv, Sx, Sy, Sz)
 
     def extra_field(mu):

@@ -51,7 +51,8 @@ def _slot_tables(params: elec.ElecParams, dtype):
 
 
 def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
-                              positions, mol_pairs, pair_mask, mu0=None):
+                              positions, mol_pairs, pair_mask, mu0=None,
+                              box=None):
     """PME energy/forces/diagnostics on a padded molecule-pair list.
 
     Args:
@@ -65,8 +66,9 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
     f_elec = units.ELECTRIC
     alpha = setup.alpha
     nmol = positions.shape[0] // 4
-    box = jnp.asarray(setup.box, dtype)
-    pscale = jnp.asarray(np.asarray(setup.grid) / np.asarray(setup.box), dtype)
+    dyn_box = box
+    box = jnp.asarray(setup.box if box is None else box, dtype)
+    pscale = jnp.asarray(np.asarray(setup.grid), dtype) / box
 
     charges, dq_w = elec.assemble_charges(params, positions)
     q4 = charges.reshape(nmol, 4)
@@ -124,12 +126,12 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
 
     # ---- fixed field ----
     # reciprocal (shared grid machinery)
-    Sx, Sy, Sz = pme_mod._spline_matrices(setup, positions)
+    Sx, Sy, Sz = pme_mod._spline_matrices(setup, positions, box=dyn_box)
     sx0, sy0, sz0 = Sx[..., 0], Sy[..., 0], Sz[..., 0]
     sx1, sy1, sz1 = Sx[..., 1], Sy[..., 1], Sz[..., 1]
 
     grid = pme_mod._spread_separable(setup, charges[:, None] * sx0, sy0, sz0)
-    conv = pme_mod._convolve(setup, grid, dtype)
+    conv = pme_mod._convolve(setup, grid, dtype, box=dyn_box)
     phi = pme_mod._phi10(pme_mod._readback_separable(conv, Sx, Sy, Sz))
     efield = (-pscale[None, :] * phi[:, 1:4]).reshape(nmol, 4, 3)
 
@@ -155,7 +157,7 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
         g = (pme_mod._spread_separable(setup, smu[:, 0:1] * sx1, sy0, sz0)
              + pme_mod._spread_separable(setup, smu[:, 1:2] * sx0, sy1, sz0)
              + pme_mod._spread_separable(setup, smu[:, 2:3] * sx0, sy0, sz1))
-        c = pme_mod._convolve(setup, g, dtype)
+        c = pme_mod._convolve(setup, g, dtype, box=dyn_box)
         return pme_mod._phi10(pme_mod._readback_separable(c, Sx, Sy, Sz))
 
     def dipole_field(mu4):

@@ -127,20 +127,23 @@ class MBPol:
         self._energy_forces_warm = jax.jit(self._energy_forces_impl)
 
     # ------------------------------------------------------------------
-    def _neighbor_lists(self, positions):
+    def _neighbor_lists(self, positions, box=None):
         """Padded pair/triplet lists from current O positions (rebuilt every
         evaluation unless prebuilt lists are passed in; diag carries overflow
         counts). Lists use cutoff + nlist_skin."""
         sys_ = self.system
         o_pos = positions[sys_.o_index]
-        box = sys_.box
+        box = sys_.box if box is None else box
         skin = self.config.nlist_skin
         pairs, pmask, n_p = neighbors.pair_list(o_pos, box,
                                                 self.config.cutoff_2b + skin,
                                                 self.pair_cap)
+        # k_max must be static (shapes); derive it from the construction box
+        k_max = neighbors.max_neighbors(sys_.n_waters, sys_.box,
+                                        self.config.cutoff_3b + skin)
         trips, tmask, n_t = neighbors.triplet_list(o_pos, box,
                                                    self.config.cutoff_3b + skin,
-                                                   self.trip_cap)
+                                                   self.trip_cap, k_max=k_max)
         if self.mesh is not None:
             from mbpol_openmm_plugin_tpu.parallel import mesh as M
             rs = M.row_sharded(self.mesh)
@@ -151,7 +154,7 @@ class MBPol:
                     triplet_overflow=n_t > self.trip_cap)
         return (pairs, pmask), (trips, tmask), diag
 
-    def _smooth_terms(self, positions, nlists=None):
+    def _smooth_terms(self, positions, nlists=None, box=None):
         """Closed-form terms (1b/2b/3b/dispersion); differentiable."""
         cfg = self.config
         sys_ = self.system
@@ -163,16 +166,16 @@ class MBPol:
         if nlists is not None:
             pl, tl = nlists
         if 'two_body' in cfg.terms:
-            parts['two_body'] = (two_body_energy(sys_, pos, pl[0], pl[1])
-                                 if pl is not None else two_body_energy(sys_, pos))
+            parts['two_body'] = (two_body_energy(sys_, pos, pl[0], pl[1], box=box)
+                                 if pl is not None else two_body_energy(sys_, pos, box=box))
         if 'three_body' in cfg.terms:
-            parts['three_body'] = (three_body_energy(sys_, pos, tl[0], tl[1])
-                                   if tl is not None else three_body_energy(sys_, pos))
+            parts['three_body'] = (three_body_energy(sys_, pos, tl[0], tl[1], box=box)
+                                   if tl is not None else three_body_energy(sys_, pos, box=box))
         if 'dispersion' in cfg.terms:
-            parts['dispersion'] = dispersion_energy(sys_, pos, cutoff=cfg.cutoff)
+            parts['dispersion'] = dispersion_energy(sys_, pos, cutoff=cfg.cutoff, box=box)
         return parts
 
-    def _energy_forces_impl(self, positions, mu0=None, nlists=None):
+    def _energy_forces_impl(self, positions, mu0=None, nlists=None, box=None):
         """mu0: optional induced-dipole warm start (diag['induced_dipoles']
         of a previous nearby evaluation). Cuts SCF iterations in MD; the
         converged fixed point - and hence the physics - is unchanged within
@@ -183,15 +186,15 @@ class MBPol:
         `build_neighbor_lists` - valid for any superset of the physical
         lists (energies are exact; see nlist_skin)."""
         sys_ = self.system
-        positions = make_molecules_whole(sys_, positions)
+        positions = make_molecules_whole(sys_, positions, box=box)
 
         nl_diag = {}
         if nlists is None and self.use_neighbor_lists:
-            pl, tl, nl_diag = self._neighbor_lists(positions)
+            pl, tl, nl_diag = self._neighbor_lists(positions, box=box)
             nlists = (pl, tl)
 
         def smooth_total(p):
-            parts = self._smooth_terms(p, nlists)
+            parts = self._smooth_terms(p, nlists, box=box)
             total = functools.reduce(jnp.add, parts.values()) if parts \
                 else jnp.zeros((), p.dtype)
             return total, parts
@@ -206,13 +209,16 @@ class MBPol:
                 from mbpol_openmm_plugin_tpu.models import pme_sparse
                 cut = self.config.cutoff + pme_sparse.PAIR_MARGIN + self.config.nlist_skin
                 mp, mp_mask, n_mp = neighbors.pair_list(
-                    pos_v[sys_.o_index], sys_.box, cut, self.elec_pair_cap)
+                    pos_v[sys_.o_index],
+                    sys_.box if box is None else box, cut, self.elec_pair_cap)
                 diag['elec_pair_overflow'] = n_mp > self.elec_pair_cap
                 e_elec, f_elec, ediag = pme_sparse.pme_electrostatics_sparse(
-                    self.elec_params, self.pme, pos_v, mp, mp_mask, mu0=mu0)
+                    self.elec_params, self.pme, pos_v, mp, mp_mask, mu0=mu0,
+                    box=box)
             elif self.pme is not None:
                 e_elec, f_elec, ediag = pme_mod.pme_electrostatics(
-                    self.elec_params, self.pme, pos_v, mesh=self.mesh, mu0=mu0)
+                    self.elec_params, self.pme, pos_v, mesh=self.mesh, mu0=mu0,
+                    box=box)
             else:
                 e_elec, f_elec, ediag = elec.cluster_electrostatics(
                     self.elec_params, pos_v, mesh=self.mesh, mu0=mu0)

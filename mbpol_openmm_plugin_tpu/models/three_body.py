@@ -111,7 +111,7 @@ def three_body_energy_triplets(pos_a, pos_b, pos_c, valid):
     return jnp.where(active, s * e_poly, jnp.zeros((), dtype))
 
 
-def three_body_energy(system: System, positions, triplets=None, triplet_mask=None):
+def three_body_energy(system: System, positions, triplets=None, triplet_mask=None, box=None):
     """Total three-body energy in kJ/mol.
 
     Args:
@@ -131,7 +131,8 @@ def three_body_energy(system: System, positions, triplets=None, triplet_mask=Non
         triplet_mask = jnp.ones(len(triplets), bool)
     pos_a, pos_b, pos_c = (wpos[triplets[:, 0]], wpos[triplets[:, 1]], wpos[triplets[:, 2]])
     if system.periodic:
-        box_a = jnp.asarray(system.box * units.NM_TO_ANGSTROM, positions.dtype)
+        b = system.box if box is None else box
+        box_a = jnp.asarray(b, positions.dtype) * units.NM_TO_ANGSTROM
         pos_a, pos_b, pos_c = _image_triplet(pos_a, pos_b, pos_c, box_a)
     e_kcal = three_body_energy_triplets(pos_a, pos_b, pos_c, triplet_mask)
     return jnp.sum(e_kcal) * units.KCAL_PER_MOL_TO_KJ_PER_MOL

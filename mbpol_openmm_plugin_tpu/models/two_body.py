@@ -148,7 +148,7 @@ def two_body_energy_pairs(pos_a, pos_b, valid):
     return jnp.where(active, sw * e_poly, jnp.zeros((), dtype))
 
 
-def two_body_energy(system: System, positions, pairs=None, pair_mask=None):
+def two_body_energy(system: System, positions, pairs=None, pair_mask=None, box=None):
     """Total two-body energy in kJ/mol.
 
     Args:
@@ -167,7 +167,8 @@ def two_body_energy(system: System, positions, pairs=None, pair_mask=None):
     pos_a = wpos[pairs[:, 0]]
     pos_b = wpos[pairs[:, 1]]
     if system.periodic:
-        box_a = jnp.asarray(system.box * units.NM_TO_ANGSTROM, positions.dtype)
+        b = system.box if box is None else box
+        box_a = jnp.asarray(b, positions.dtype) * units.NM_TO_ANGSTROM
         pos_a, pos_b = _image_pair(pos_a, pos_b, box_a)
     e_kcal = two_body_energy_pairs(pos_a, pos_b, pair_mask)
     return jnp.sum(e_kcal) * units.KCAL_PER_MOL_TO_KJ_PER_MOL

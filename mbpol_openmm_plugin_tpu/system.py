@@ -105,13 +105,13 @@ def water_positions(system: System, positions):
     return positions[idx]
 
 
-def make_molecules_whole(system: System, positions):
+def make_molecules_whole(system: System, positions, box=None):
     """Image each water's hydrogens next to its oxygen (reference convention:
     imageParticles w.r.t. the molecule's O, MBPolReferenceTwoBodyForce.cpp:66-76).
     Required for PDB inputs with wrapped molecules; a no-op for whole ones."""
     if not system.periodic:
         return positions
-    box = jnp.asarray(system.box, positions.dtype)
+    box = jnp.asarray(system.box if box is None else box, positions.dtype)
     o = positions[system.o_index]
 
     def image(p):
