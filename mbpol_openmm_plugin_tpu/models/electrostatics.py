@@ -63,6 +63,7 @@ class ElecParams:
     include_charge_redistribution: bool = True
     target_epsilon: float = 1e-7   # Force API default (MBPolElectrostaticsForce.cpp:44)
     max_iterations: int = 200
+    scf_method: str = 'sor'        # 'sor' (reference semantics) | 'diis' (accelerated)
     # water site indices for charge redistribution (None for 3-site systems)
     o_index: Optional[np.ndarray] = None
     h1_index: Optional[np.ndarray] = None
@@ -264,6 +265,99 @@ def _dipole_field(mu, s3, s5, delta):
     return f
 
 
+def scf_induced_dipoles_diis(efield_alpha, alpha, s3, s5, delta, target_epsilon,
+                             max_iterations, extra_field=None, mu0=None,
+                             depth=5):
+    """DIIS/Anderson-accelerated SCF (the reference's CUDA platform uses DIIS
+    for the same reason, multipoleInducedField.cu:374-482 - but solves the
+    small system on the host; here everything stays on device).
+
+    Fixed-point map g(mu) = alpha * (E_fixed + T mu); residual r = g(mu) - mu.
+    Each iteration extrapolates over the last `depth` (g, r) pairs by solving
+    the constrained least-squares system  [B 1; 1 0][c; l] = [0; 1] with
+    B_ij = <r_i, r_j> (+ Tikhonov regularization), then mu <- sum c_i g_i.
+    Convergence metric matches the reference (polarSOR * debye *
+    sqrt(|r|^2/N)), so `converged` means the same thing as the SOR path.
+    """
+    n = efield_alpha.shape[0]
+    dtype = efield_alpha.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+    if dtype == jnp.float32:
+        target_epsilon = max(target_epsilon, 1e-4)
+
+    def gmap(mu):
+        field = _dipole_field(mu, s3, s5, delta)
+        if extra_field is not None:
+            field = field + extra_field(mu)
+        return efield_alpha + field * alpha[:, None]
+
+    K = depth
+    M = K - 1   # Anderson mixing dimension (differences vs the newest slot)
+
+    def chol_solve(A, b):
+        """Unrolled Cholesky solve for a tiny static SPD system - TPU-friendly
+        scalar ops (jnp.linalg.solve inside a while_loop is catastrophically
+        slow on TPU)."""
+        L = [[None] * M for _ in range(M)]
+        for i in range(M):
+            for j in range(i + 1):
+                s = A[i, j]
+                for k in range(j):
+                    s = s - L[i][k] * L[j][k]
+                if i == j:
+                    L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+                else:
+                    L[i][j] = s / L[j][j]
+        y = [None] * M
+        for i in range(M):
+            s = b[i]
+            for k in range(i):
+                s = s - L[i][k] * y[k]
+            y[i] = s / L[i][i]
+        x = [None] * M
+        for i in reversed(range(M)):
+            s = y[i]
+            for k in range(i + 1, M):
+                s = s - L[k][i] * x[k]
+            x[i] = s / L[i][i]
+        return jnp.stack(x)
+
+    def body(carry):
+        mu, gs, rs, it, _, done, conv = carry
+        g = gmap(mu)
+        r = g - mu
+        eps = _POLAR_SOR * units.DEBYE * jnp.sqrt(jnp.sum(r * r) / n)
+        gs = jnp.roll(gs, 1, axis=0).at[0].set(g)
+        rs = jnp.roll(rs, 1, axis=0).at[0].set(r)
+        m = jnp.minimum(it, M)                       # older slots available
+        valid = jnp.arange(M) < m                    # slots 1..M vs slot 0
+        # Anderson type-II: minimize || r0 + D theta ||, D_i = r_{i+1} - r_0
+        D = rs[1:] - rs[0]                           # [M, N, 3]
+        D = jnp.where(valid[:, None, None], D, 0.0)
+        Df = D.reshape(M, -1)
+        A = Df @ Df.T
+        reg = 1e-8 * (jnp.trace(A) + jnp.asarray(1e-30, dtype))
+        A = A + reg * jnp.eye(M, dtype=dtype) \
+            + jnp.diag(jnp.where(valid, 0.0, 1.0).astype(dtype))
+        b = -(Df @ rs[0].reshape(-1))
+        theta = jnp.where(valid, chol_solve(A, b), 0.0)
+        mu_new = gs[0] + jnp.einsum('k,knd->nd', theta, gs[1:] - gs[0])
+        converged = eps < target_epsilon
+        done = converged | (it + 1 >= max_iterations)
+        return (mu_new, gs, rs, it + 1, eps, done, converged)
+
+    def cond(carry):
+        return ~carry[5]
+
+    mu0 = efield_alpha if mu0 is None else mu0
+    gs0 = jnp.zeros((K,) + mu0.shape, dtype)
+    rs0 = jnp.zeros((K,) + mu0.shape, dtype)
+    mu, _, _, iters, eps, _, converged = jax.lax.while_loop(
+        cond, body, (mu0, gs0, rs0, jnp.zeros((), jnp.int32),
+                     big, jnp.zeros((), bool), jnp.zeros((), bool)))
+    return mu, dict(iterations=iters, epsilon=eps, converged=converged)
+
+
 def scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta, target_epsilon,
                         max_iterations, extra_field=None, mu0=None):
     """SOR fixed-point iteration for the induced dipoles.
@@ -355,7 +449,9 @@ def cluster_electrostatics(params: ElecParams, positions, mesh=None, mu0=None):
     # SCF (TDD damping, no exclusions, cpp:534-555)
     s3 = jnp.where(notself, -rr3 * s_dd[3], 0.0)
     s5 = jnp.where(notself, rr5 * s_dd[5], 0.0)
-    mu, diag = scf_induced_dipoles(
+    scf = (scf_induced_dipoles_diis if params.scf_method == 'diis'
+           else scf_induced_dipoles)
+    mu, diag = scf(
         efield * alpha[:, None], alpha, s3, s5, delta,
         params.target_epsilon, params.max_iterations, mu0=mu0)
 

@@ -281,7 +281,9 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
         phid = _phi10(Pd)
         return -pscale[None, :] * phid[:, 1:4] + self_term * mu
 
-    mu, diag = elec.scf_induced_dipoles(
+    scf = (elec.scf_induced_dipoles_diis if params.scf_method == 'diis'
+           else elec.scf_induced_dipoles)
+    mu, diag = scf(
         efield * alpha_pol[:, None], alpha_pol, s3_dir, s5_dir, delta,
         params.target_epsilon, params.max_iterations, extra_field=extra_field,
         mu0=mu0)

@@ -55,6 +55,7 @@ class MBPolConfig:
     pme_grid: Optional[tuple] = None         # derived from tolerance if None
     target_epsilon: float = 1e-7
     max_iterations: int = 200
+    scf_method: str = 'sor'          # 'sor' (reference semantics) | 'diis'
     thole: Optional[tuple] = None    # override [TCC,TCD,TDD,TDDOH,TDDHH]; default XML values
     # 'dense' ([N,N] tensors, exact at any cutoff), 'sparse' (molecule-pair
     # list direct space, O(N) memory - production boxes), or 'auto'
@@ -87,7 +88,8 @@ class MBPol:
                 system,
                 include_charge_redistribution=config.include_charge_redistribution,
                 target_epsilon=config.target_epsilon,
-                max_iterations=config.max_iterations)
+                max_iterations=config.max_iterations,
+                scf_method=config.scf_method)
             if config.thole is not None:
                 self.elec_params = dataclasses.replace(
                     self.elec_params, thole=np.asarray(config.thole))

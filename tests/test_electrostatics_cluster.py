@@ -123,3 +123,19 @@ def test_water3_full_virtual_site_energy():
     assert bool(diag['converged'])
     e_kcal = float(energy) * units.KJ_PER_MOL_TO_KCAL_PER_MOL
     assert abs(e_kcal - (-15.818784)) < 0.1, e_kcal
+
+
+def test_diis_scf_matches_sor():
+    """DIIS-accelerated SCF (the CUDA reference's approach, on-device here)
+    must converge to the same fixed point as the reference SOR loop."""
+    import dataclasses
+    params = dataclasses.replace(_three_site_params(), scf_method='diis')
+    energy, forces, diag = E.cluster_electrostatics(params, jnp.asarray(WATER3_POS9))
+    assert bool(diag['converged'])
+    e_kcal = float(energy) * units.KJ_PER_MOL_TO_KCAL_PER_MOL
+    assert abs(e_kcal - (-7.08652)) < 1e-4 * 7.1
+    f_kcal_a = np.asarray(forces) * units.KJ_PER_MOL_TO_KCAL_PER_MOL / units.NM_TO_ANGSTROM
+    np.testing.assert_allclose(f_kcal_a, GOLDEN_W3_FORCES_KCAL_A, rtol=2e-4, atol=2e-4)
+    # and it should be faster-converging than SOR
+    _, _, diag_sor = E.cluster_electrostatics(_three_site_params(), jnp.asarray(WATER3_POS9))
+    assert int(diag['iterations']) < int(diag_sor['iterations'])
