@@ -97,3 +97,33 @@ def test_pdb_roundtrip(pdb_dir):
     ref = fixtures.load('water3')
     np.testing.assert_allclose(np.asarray(pdb.positions.to_internal()),
                                ref['positions'], atol=1e-4)
+
+
+def test_xml_variant_no_dispersion_no_redistribution(pdb_dir, tmp_path):
+    """The reference ships an XML variant that disables the dispersion script
+    and charge redistribution (mbpol_no_custom_dispersion_no_charge_
+    redistribution.xml); our ForceField must honor both switches."""
+    variant = tmp_path / 'variant.xml'
+    base = open(app.mbpol_xml_path()).read()
+    import re
+    # drop the dispersion script and add the redistribution toggle
+    base = re.sub(r'<Script>.*?</Script>', '', base, flags=re.S)
+    base = base.replace(
+        '</MBPolElectrostaticsForce>',
+        '    <setIncludeChargeRedistribution chargeRedistribution="False"/>\n'
+        '    </MBPolElectrostaticsForce>')
+    variant.write_text(base)
+    ff = app.ForceField(str(variant))
+    assert not ff.has_dispersion
+    assert not ff.include_charge_redistribution
+    pdb = app.PDBFile(pdb_dir['water3'])
+    system = ff.createSystem(pdb.topology, nonbondedMethod=app.CutoffNonPeriodic,
+                             nonbondedCutoff=0.9 * unit.nanometer)
+    # force order without dispersion: elec, one, two, three, CMMotionRemover
+    assert system.getNumForces() == 5
+    sim = app.Simulation(pdb.topology, system, app.VerletIntegrator(0.02 * unit.femtoseconds))
+    sim.context.setPositions(pdb.positions)
+    e = sim.context.getState(getEnergy=True).getPotentialEnergy()
+    v = e.value_in_unit(unit.kilocalorie_per_mole)
+    assert np.isfinite(v)
+    assert not sim.potential.config.include_charge_redistribution
