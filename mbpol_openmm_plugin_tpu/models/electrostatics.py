@@ -242,6 +242,14 @@ def assemble_charges(params: ElecParams, positions):
     dtype = positions.dtype
     if not params.include_charge_redistribution:
         return jnp.asarray(params.charges, dtype), None
+    nmol = len(params.o_index)
+    contiguous = bool(np.array_equal(params.o_index, 4 * np.arange(nmol)))
+    if contiguous and 4 * nmol == n:
+        pos_w = positions.reshape(nmol, 4, 3)[:, :3]
+        q_w, dq_w = water_charges_and_derivatives(pos_w)
+        zero = jnp.zeros((nmol, 1), dtype)
+        charges = jnp.concatenate([zero, q_w], axis=1).reshape(-1)
+        return charges, dq_w
     idx = np.stack([params.o_index, params.h1_index, params.h2_index], axis=1)
     pos_w = positions[idx]
     q_w, dq_w = water_charges_and_derivatives(pos_w)
@@ -493,11 +501,17 @@ def cluster_electrostatics(params: ElecParams, positions, mesh=None, mu0=None):
         phi1 = jnp.einsum('ij,j->i', jnp.where(diff_mol, sc[1] * rr1, 0.0), charges)
         phimu = jnp.einsum('ij,ij->i', jnp.where(diff_mol, sc[3] * rr3, 0.0), -mu_dot_d_j)
         phi = phi1 + phimu
-        phi_sites = phi[site_idx]                       # [nmol, 3]
-        # force on atom a of each molecule: -f * sum_s dq[a,s,:] phi_s
-        f_atoms = -f * jnp.einsum('masd,ms->mad', dq_w, phi_sites)
-        atom_idx = np.stack([params.o_index, params.h1_index, params.h2_index], axis=1)
-        forces = forces.at[atom_idx.reshape(-1)].add(f_atoms.reshape(-1, 3))
+        nmol = len(params.o_index)
+        if bool(np.array_equal(params.o_index, 4 * np.arange(nmol))):
+            phi_sites = phi.reshape(nmol, 4)[:, 1:]     # H1, H2, M slots
+            f_atoms = -f * jnp.einsum('masd,ms->mad', dq_w, phi_sites)
+            pad = jnp.zeros((nmol, 1, 3), phi.dtype)
+            forces = forces + jnp.concatenate([f_atoms, pad], axis=1).reshape(-1, 3)
+        else:
+            phi_sites = phi[site_idx]
+            f_atoms = -f * jnp.einsum('masd,ms->mad', dq_w, phi_sites)
+            atom_idx = np.stack([params.o_index, params.h1_index, params.h2_index], axis=1)
+            forces = forces.at[atom_idx.reshape(-1)].add(f_atoms.reshape(-1, 3))
 
     return energy, forces, dict(**diag, charges=charges, induced_dipoles=mu)
 

@@ -347,11 +347,18 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
 
     # ---- charge-derivative forces (cpp:2767-2773) ----
     if params.include_charge_redistribution and dq_w is not None:
-        site_idx = np.stack([params.h1_index, params.h2_index, params.m_index], axis=1)
-        phi_sites = pot[site_idx]
-        f_atoms = -f_elec * jnp.einsum('masd,ms->mad', dq_w, phi_sites)
-        atom_idx = np.stack([params.o_index, params.h1_index, params.h2_index], axis=1)
-        forces = forces.at[atom_idx.reshape(-1)].add(f_atoms.reshape(-1, 3))
+        nmol = len(params.o_index)
+        if bool(np.array_equal(params.o_index, 4 * np.arange(nmol))):
+            phi_sites = pot.reshape(nmol, 4)[:, 1:]
+            f_atoms = -f_elec * jnp.einsum('masd,ms->mad', dq_w, phi_sites)
+            pad = jnp.zeros((nmol, 1, 3), pot.dtype)
+            forces = forces + jnp.concatenate([f_atoms, pad], axis=1).reshape(-1, 3)
+        else:
+            site_idx = np.stack([params.h1_index, params.h2_index, params.m_index], axis=1)
+            phi_sites = pot[site_idx]
+            f_atoms = -f_elec * jnp.einsum('masd,ms->mad', dq_w, phi_sites)
+            atom_idx = np.stack([params.o_index, params.h1_index, params.h2_index], axis=1)
+            forces = forces.at[atom_idx.reshape(-1)].add(f_atoms.reshape(-1, 3))
 
     energy = f_elec * (e_direct + e_recip_fixed + e_recip_ind + e_self)
     return energy, forces, dict(**diag, charges=charges, induced_dipoles=mu)

@@ -229,11 +229,21 @@ class MBPol:
             # redistribute M-site forces to parents (average3 weights)
             ff = _data.load('forcefield')
             w = ff['vsite_weights']
-            f_m = f_elec[sys_.m_index]
-            f_elec = f_elec.at[sys_.m_index].set(0.0)
-            f_elec = f_elec.at[sys_.o_index].add(w[0] * f_m)
-            f_elec = f_elec.at[sys_.h1_index].add(w[1] * f_m)
-            f_elec = f_elec.at[sys_.h2_index].add(w[2] * f_m)
+            from mbpol_openmm_plugin_tpu.system import _contiguous_waters
+            if _contiguous_waters(sys_) and sys_.n_ions == 0:
+                f4 = f_elec.reshape(sys_.n_waters, 4, 3)
+                f_m = f4[:, 3]
+                f4 = jnp.stack([f4[:, 0] + w[0] * f_m,
+                                f4[:, 1] + w[1] * f_m,
+                                f4[:, 2] + w[2] * f_m,
+                                jnp.zeros_like(f_m)], axis=1)
+                f_elec = f4.reshape(-1, 3)
+            else:
+                f_m = f_elec[sys_.m_index]
+                f_elec = f_elec.at[sys_.m_index].set(0.0)
+                f_elec = f_elec.at[sys_.o_index].add(w[0] * f_m)
+                f_elec = f_elec.at[sys_.h1_index].add(w[1] * f_m)
+                f_elec = f_elec.at[sys_.h2_index].add(w[2] * f_m)
             forces = forces + f_elec
             e_smooth = e_smooth + e_elec
 

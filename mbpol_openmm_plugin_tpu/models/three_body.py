@@ -22,6 +22,7 @@ import numpy as np
 
 from mbpol_openmm_plugin_tpu import data as _data
 from mbpol_openmm_plugin_tpu.models.two_body import _safe_norm, f_switch
+from mbpol_openmm_plugin_tpu.ops.gather import gather_rows
 from mbpol_openmm_plugin_tpu.ops.polyeval import pip_apply
 from mbpol_openmm_plugin_tpu.system import System, water_positions
 from mbpol_openmm_plugin_tpu.utils import units
@@ -129,7 +130,10 @@ def three_body_energy(system: System, positions, triplets=None, triplet_mask=Non
         triplets = idx
     if triplet_mask is None:
         triplet_mask = jnp.ones(len(triplets), bool)
-    pos_a, pos_b, pos_c = (wpos[triplets[:, 0]], wpos[triplets[:, 1]], wpos[triplets[:, 2]])
+    wflat = wpos.reshape(-1, 9)
+    pos_a = gather_rows(wflat, triplets[:, 0]).reshape(-1, 3, 3)
+    pos_b = gather_rows(wflat, triplets[:, 1]).reshape(-1, 3, 3)
+    pos_c = gather_rows(wflat, triplets[:, 2]).reshape(-1, 3, 3)
     if system.periodic:
         b = system.box if box is None else box
         box_a = jnp.asarray(b, positions.dtype) * units.NM_TO_ANGSTROM

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mbpol_openmm_plugin_tpu import data as _data
+from mbpol_openmm_plugin_tpu.ops.gather import gather_rows
 from mbpol_openmm_plugin_tpu.ops.polyeval import pip_apply
 from mbpol_openmm_plugin_tpu.system import System, water_positions
 from mbpol_openmm_plugin_tpu.utils import units
@@ -164,8 +165,9 @@ def two_body_energy(system: System, positions, pairs=None, pair_mask=None, box=N
         pairs = np.stack([ii, jj], axis=1).astype(np.int32)
     if pair_mask is None:
         pair_mask = jnp.ones(len(pairs), bool)
-    pos_a = wpos[pairs[:, 0]]
-    pos_b = wpos[pairs[:, 1]]
+    wflat = wpos.reshape(-1, 9)
+    pos_a = gather_rows(wflat, pairs[:, 0]).reshape(-1, 3, 3)
+    pos_b = gather_rows(wflat, pairs[:, 1]).reshape(-1, 3, 3)
     if system.periodic:
         b = system.box if box is None else box
         box_a = jnp.asarray(b, positions.dtype) * units.NM_TO_ANGSTROM

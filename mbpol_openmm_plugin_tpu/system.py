@@ -88,11 +88,23 @@ class System:
         return cls.waters(n_waters, n_ions, box=box)
 
 
+def _contiguous_waters(system: System):
+    """True when the layout is the standard stride-4 OHHM block (then all
+    per-molecule restructuring is a reshape - no gathers/scatters, whose
+    transposes are scatter-adds that serialize badly on TPU)."""
+    n = system.n_waters
+    return bool(np.array_equal(system.o_index, 4 * np.arange(n)))
+
+
 def compute_virtual_sites(system: System, positions):
     """Place each water's M site: average3 virtual site with weights
     (w1, w2, w3) over (O, H1, H2) (mbpol.xml:14). Differentiable."""
     ff = _data.load('forcefield')
     w1, w2, w3 = ff['vsite_weights']
+    if _contiguous_waters(system) and system.n_ions == 0:
+        p4 = positions.reshape(system.n_waters, 4, 3)
+        m = w1 * p4[:, 0] + w2 * p4[:, 1] + w3 * p4[:, 2]
+        return jnp.concatenate([p4[:, :3], m[:, None]], axis=1).reshape(-1, 3)
     m_pos = (w1 * positions[system.o_index] +
              w2 * positions[system.h1_index] +
              w3 * positions[system.h2_index])
@@ -100,7 +112,10 @@ def compute_virtual_sites(system: System, positions):
 
 
 def water_positions(system: System, positions):
-    """Gather [n_waters, 3, 3] (O,H1,H2) position blocks."""
+    """[n_waters, 3, 3] (O,H1,H2) position blocks (reshape on the standard
+    layout; gather otherwise)."""
+    if _contiguous_waters(system):
+        return positions[:4 * system.n_waters].reshape(system.n_waters, 4, 3)[:, :3]
     idx = np.stack([system.o_index, system.h1_index, system.h2_index], axis=1)
     return positions[idx]
 
@@ -112,6 +127,11 @@ def make_molecules_whole(system: System, positions, box=None):
     if not system.periodic:
         return positions
     box = jnp.asarray(system.box if box is None else box, positions.dtype)
+    if _contiguous_waters(system) and system.n_ions == 0:
+        p4 = positions.reshape(system.n_waters, 4, 3)
+        o = p4[:, 0:1]
+        rest = p4[:, 1:] + jnp.floor((o - p4[:, 1:]) / box + 0.5) * box
+        return jnp.concatenate([o, rest], axis=1).reshape(-1, 3)
     o = positions[system.o_index]
 
     def image(p):
