@@ -23,7 +23,6 @@ from typing import List, Optional
 
 import numpy as np
 
-from mbpol_openmm_plugin_tpu import data as _data
 from mbpol_openmm_plugin_tpu.app import units_compat as unit
 from mbpol_openmm_plugin_tpu.system import System
 

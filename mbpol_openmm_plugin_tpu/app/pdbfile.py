@@ -8,7 +8,7 @@ CRYST1 box records; python/tests/pdb_files/*).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

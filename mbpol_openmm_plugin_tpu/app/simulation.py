@@ -1,7 +1,6 @@
 """app.Simulation-compatible driver over the TPU MD engine."""
 from __future__ import annotations
 
-import sys
 import time
 
 import numpy as np
@@ -12,7 +11,6 @@ from mbpol_openmm_plugin_tpu.md import integrators as I
 from mbpol_openmm_plugin_tpu.md.simulation import Simulation as CoreSimulation
 from mbpol_openmm_plugin_tpu.md.simulation import SimulationConfig
 from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
-from mbpol_openmm_plugin_tpu.utils import units as U
 
 
 class VerletIntegrator:

@@ -13,13 +13,12 @@ returns zero force rows for them after redistribution).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mbpol_openmm_plugin_tpu.system import System, compute_virtual_sites
+from mbpol_openmm_plugin_tpu.system import System
 from mbpol_openmm_plugin_tpu.utils import units
 
 

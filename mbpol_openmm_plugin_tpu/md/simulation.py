@@ -18,7 +18,6 @@ import numpy as np
 
 from mbpol_openmm_plugin_tpu.md import integrators as I
 from mbpol_openmm_plugin_tpu.models.potential import MBPol
-from mbpol_openmm_plugin_tpu.system import System
 from mbpol_openmm_plugin_tpu.utils import units
 
 

@@ -33,7 +33,6 @@ Notes on the TPU design:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax

@@ -9,7 +9,6 @@ expensive on [N,N] operands; for fixed a = 3/4 a short fixed-depth series
 branch-free code.
 """
 import jax.numpy as jnp
-import numpy as np
 
 _A = 0.75
 _LGAMMA_A = 0.20328095143129538  # ln Gamma(3/4)
