@@ -21,6 +21,7 @@ from mbpol_openmm_plugin_tpu.app import units_compat as unit  # noqa: F401
 from mbpol_openmm_plugin_tpu.app.forcefield import (ForceField, NoCutoff, PME,  # noqa: F401
                                                     CutoffNonPeriodic, CutoffPeriodic,
                                                     mbpol_xml_path)
+from mbpol_openmm_plugin_tpu.app.netcdf import NetCDFReporter  # noqa: F401
 from mbpol_openmm_plugin_tpu.app.pdbfile import PDBFile, PDBReporter  # noqa: F401
 from mbpol_openmm_plugin_tpu.app.simulation import (AndersenThermostat,  # noqa: F401
                                                     LangevinIntegrator,

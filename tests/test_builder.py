@@ -34,3 +34,9 @@ def test_builder_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert (tmp_path / 'water14_cluster.log').exists()
     assert (tmp_path / 'water14_cluster_trajectory.pdb').exists()
+    # AMBER NetCDF trajectory (save_velocities_every in the INI)
+    from scipy.io import netcdf_file
+    nc = netcdf_file(str(tmp_path / 'water14_cluster.nc'), 'r', mmap=False)
+    assert nc.Conventions == b'AMBER'
+    assert set(nc.variables) >= {'coordinates', 'velocities', 'forces'}
+    nc.close()
