@@ -83,7 +83,9 @@ class Simulation:
         for k in ('converged',):
             if k in diag:
                 ok = ok & diag[k]
-        for k in ('pair_overflow', 'triplet_overflow'):
+        for k in ('pair_overflow', 'triplet_overflow',
+                  'pair_eval_overflow', 'triplet_eval_overflow',
+                  'elec_pair_overflow'):
             if k in diag:
                 ok = ok & ~diag[k]
         return ok
@@ -192,7 +194,8 @@ class Simulation:
                     raise RuntimeError(
                         'simulation health check failed: %s' %
                         {k: diag[k] for k in ('converged', 'iterations', 'epsilon',
-                                              'pair_overflow', 'triplet_overflow')
+                                              'pair_overflow', 'triplet_overflow',
+                                              'pair_eval_overflow', 'triplet_eval_overflow')
                          if k in diag})
             pes.append(float(pe[-1]))
             kes.append(float(ke[-1]))

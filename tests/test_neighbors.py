@@ -100,3 +100,47 @@ def test_skinned_lists_give_identical_energies():
         e_skin = term(sys_, pos, lst, mask)
         e_dense = term(sys_, pos)
         np.testing.assert_allclose(float(e_skin), float(e_dense), rtol=1e-9)  # identical up to summation order
+
+
+def test_compacted_lists_give_identical_energies():
+    """Per-step compaction (ops/neighbors.compact_*) keeps exactly the
+    entries with nonzero switch weight: energies and the end-to-end
+    potential are unchanged."""
+    box = [1.8] * 3
+    sys_, pos = fixtures.load_system('water50', box=box)
+    pos = make_molecules_whole(sys_, pos)
+    o = pos[sys_.o_index]
+
+    cap_p = neighbors.pair_capacity(50, box, 0.75)
+    pairs, pmask, _ = neighbors.pair_list(o, box, 0.75, cap_p)
+    pc, pcm, n_p = neighbors.compact_pairs(o, box, pairs, pmask, 0.65, 0.2, cap_p)
+    assert int(n_p) <= int(jnp.sum(pmask))
+    e_c = two_body_energy(sys_, pos, pc, pcm)
+    e_d = two_body_energy(sys_, pos)
+    np.testing.assert_allclose(float(e_c), float(e_d), rtol=1e-10)
+
+    cap_t = neighbors.triplet_capacity(50, box, 0.55)
+    trips, tmask, _ = neighbors.triplet_list(o, box, 0.55, cap_t)
+    tc, tcm, n_t = neighbors.compact_triplets(o, box, trips, tmask, 0.45, 0.2, cap_t)
+    assert int(n_t) <= int(jnp.sum(tmask))
+    e_c3 = three_body_energy(sys_, pos, tc, tcm)
+    e_d3 = three_body_energy(sys_, pos)
+    np.testing.assert_allclose(float(e_c3), float(e_d3), rtol=1e-10)
+
+
+def test_compact_eval_end_to_end():
+    """MBPolConfig(compact_eval=True) reproduces the baseline potential."""
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+    box = [1.8] * 3
+    sys_, pos = fixtures.load_system('water50', box=box)
+    base = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.85,
+                                   target_epsilon=1e-7))
+    e0, f0, _, _ = base.energy_forces(pos)
+    comp = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.85,
+                                   target_epsilon=1e-7, nlist_skin=0.05,
+                                   compact_eval=True))
+    e1, f1, _, d1 = comp.energy_forces(pos)
+    assert not bool(d1['pair_eval_overflow'])
+    assert not bool(d1['triplet_eval_overflow'])
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-6)
