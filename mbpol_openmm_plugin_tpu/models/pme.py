@@ -123,17 +123,66 @@ def _readback_separable(grid, Sx, Sy, Sz):
     return jnp.einsum('nabk,nkc->nabc', t2, Sz)
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_mats(n, inverse=False):
+    """Dense DFT matrix (cos, sin parts) for one grid axis."""
+    k = np.arange(n)
+    ang = 2.0 * np.pi * np.outer(k, k) / n
+    sgn = 1.0 if inverse else -1.0
+    return np.cos(ang), sgn * np.sin(ang)
+
+
+def _dft_axis(re, im, axis, n, inverse, dtype):
+    """Complex DFT along one axis as real matmuls (MXU-friendly)."""
+    c, s = _dft_mats(n, inverse)
+    cm = jnp.asarray(c, dtype)
+    sm = jnp.asarray(s, dtype)
+    hi = jax.lax.Precision.HIGHEST
+    rm = jnp.moveaxis(re, axis, -1)
+    pr = jnp.einsum('...k,kg->...g', rm, cm, precision=hi)
+    pi = jnp.einsum('...k,kg->...g', rm, sm, precision=hi)
+    if im is not None:
+        imm = jnp.moveaxis(im, axis, -1)
+        pr = pr - jnp.einsum('...k,kg->...g', imm, sm, precision=hi)
+        pi = pi + jnp.einsum('...k,kg->...g', imm, cm, precision=hi)
+    return jnp.moveaxis(pr, -1, axis), jnp.moveaxis(pi, -1, axis)
+
+
+def _use_matmul_dft():
+    """PME grids are tiny (~32^3): on TPU, dense per-axis DFT matmuls on the
+    MXU are ~30x faster than jnp.fft (which lowers to a slow generic FFT;
+    measured 1.45 ms for one 27^3 fwd+inv pair on v5e vs ~0.05 ms as
+    matmuls). CPU keeps jnp.fft (fast there, exact f64 for goldens).
+    Override with MBPOL_PME_FFT=fft|dft."""
+    import os
+    choice = os.environ.get('MBPOL_PME_FFT', 'auto')
+    if choice == 'auto':
+        return jax.default_backend() == 'tpu'
+    return choice == 'dft'
+
+
 def _convolve(setup: PmeSetup, grid, dtype, box=None):
     """Forward FFT, reciprocal eterm multiply, backward (unnormalized) FFT.
     (performMBPolReciprocalConvolution, cpp:1676-1713). The eterm is a cheap
     elementwise function of the (possibly traced) box, so NPT volume moves
     work without recompilation."""
     nx, ny, nz = setup.grid
-    gk = jnp.fft.fftn(grid)
-    gk = gk * _eterm(setup, grid.dtype if box is None else None, box)
+    et = _eterm(setup, grid.dtype if box is None else None, box)
     ntot = nx * ny * nz
-    # real input, real symmetric kernel -> real result (unnormalized backward)
-    return jnp.real(jnp.fft.ifftn(gk) * ntot)
+    if not _use_matmul_dft():
+        gk = jnp.fft.fftn(grid)
+        gk = gk * et
+        # real input, real symmetric kernel -> real result (unnormalized backward)
+        return jnp.real(jnp.fft.ifftn(gk) * ntot)
+    re, im = grid, None
+    for axis, n in enumerate(setup.grid):
+        re, im = _dft_axis(re, im, axis, n, False, grid.dtype)
+    re = re * et.astype(grid.dtype)
+    im = im * et.astype(grid.dtype)
+    # unnormalized inverse (= ifftn * ntot): conjugate transform, no 1/N
+    for axis, n in enumerate(setup.grid):
+        re, im = _dft_axis(re, im, axis, n, True, grid.dtype)
+    return re
 
 
 @functools.lru_cache(maxsize=None)
@@ -215,31 +264,57 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
     alpha_pol = jnp.asarray(params.polarity, dtype)
     th = params.thole
 
-    # ---- pair tensors (minimum image, cutoff) ----
-    t = elec._pair_tensors(params, positions,
-                           periodic_delta=lambda d: d - jnp.floor(
-                               d / jnp.asarray(box, dtype) + 0.5) * jnp.asarray(box, dtype),
-                           mesh=mesh)
-    delta, r, u = t['delta'], t['r'], t['u']
-    notself, same_mol = t['notself'], t['same_mol']
-    r2 = r * r
-    within = notself & (r2 <= setup.cutoff * setup.cutoff)
+    # Fused Pallas kernels for the direct-space pair work (TPU f32, static
+    # box, unsharded): recompute the whole pair chain per VMEM tile instead
+    # of materializing ~35 [N,N] tensors in HBM (ops/elec_pallas.py).
+    from mbpol_openmm_plugin_tpu.ops import elec_pallas
+    use_kernels = (elec_pallas.use_pallas(dtype) and mesh is None
+                   and not isinstance(box, jnp.ndarray))
+    interpret = False
+    import os
+    if os.environ.get('MBPOL_ELEC_PALLAS') == 'interpret':
+        use_kernels, interpret = True, True
 
-    inv_r = jnp.where(notself, 1.0 / r, 0.0)
-    rr1 = inv_r
-    rr3 = inv_r ** 3
-    rr5 = 3.0 * inv_r ** 5
-    rr7 = 15.0 * inv_r ** 7
-    bn0, bn1, bn2, bn3 = [jnp.where(within, b, 0.0)
-                          for b in _bn_factors(alpha, r, inv_r)]
-    rr1c = jnp.where(within, rr1, 0.0)
-    rr3c = jnp.where(within, rr3, 0.0)
-    rr5c = jnp.where(within, rr5, 0.0)
-    rr7c = jnp.where(within, rr7, 0.0)
+    if use_kernels:
+        d16_inv = jnp.asarray(
+            np.asarray(params.damping, np.float64) ** (-1.0 / 6.0), dtype)
+        srow = elec_pallas.pack_sites(
+            positions, charges, d16_inv,
+            jnp.asarray(params.mol_index), jnp.asarray(params.atom_type == 0))
+        ef_direct, s3_dir, s5_dir = elec_pallas.fixed_field_and_scf_factors(
+            setup, th, srow, n, interpret=interpret)
+        if s3_dir.shape[0] != n:
+            s3_dir = s3_dir[:n, :n]
+            s5_dir = s5_dir[:n, :n]
+        bvec = jnp.asarray(box, dtype)
+        delta = positions[None, :, :] - positions[:, None, :]
+        delta = delta - jnp.floor(delta / bvec + 0.5) * bvec
+    else:
+        # ---- pair tensors (minimum image, cutoff) ----
+        t = elec._pair_tensors(params, positions,
+                               periodic_delta=lambda d: d - jnp.floor(
+                                   d / jnp.asarray(box, dtype) + 0.5) * jnp.asarray(box, dtype),
+                               mesh=mesh)
+        delta, r, u = t['delta'], t['r'], t['u']
+        notself, same_mol = t['notself'], t['same_mol']
+        r2 = r * r
+        within = notself & (r2 <= setup.cutoff * setup.cutoff)
 
-    s_cc = elec.thole_scales(u, th[elec.TCC], orders=(1, 3))
-    s_cd = elec.thole_scales(u, th[elec.TCD], orders=(3, 5))
-    s_dd = elec.thole_scales(u, t['gamma_dd'], orders=(3, 5, 7))
+        inv_r = jnp.where(notself, 1.0 / r, 0.0)
+        rr1 = inv_r
+        rr3 = inv_r ** 3
+        rr5 = 3.0 * inv_r ** 5
+        rr7 = 15.0 * inv_r ** 7
+        bn0, bn1, bn2, bn3 = [jnp.where(within, b, 0.0)
+                              for b in _bn_factors(alpha, r, inv_r)]
+        rr1c = jnp.where(within, rr1, 0.0)
+        rr3c = jnp.where(within, rr3, 0.0)
+        rr5c = jnp.where(within, rr5, 0.0)
+        rr7c = jnp.where(within, rr7, 0.0)
+
+        s_cc = elec.thole_scales(u, th[elec.TCC], orders=(1, 3))
+        s_cd = elec.thole_scales(u, th[elec.TCD], orders=(3, 5))
+        s_dd = elec.thole_scales(u, t['gamma_dd'], orders=(3, 5, 7))
 
     # ---- grid machinery (separable spline matrices; matmuls only) ----
     Sx, Sy, Sz = _spline_matrices(setup, positions, box=box)
@@ -256,15 +331,19 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
 
     # ---- fixed field: reciprocal + direct + (no self for charges) ----
     efield = -pscale[None, :] * phi[:, 1:4]               # recordFixedElectrostaticsField
-    # direct space (calculateFixedElectrostaticsFieldPairIxn PME, cpp:1342-1407)
-    s3cc_eff = jnp.where(same_mol, 2.0, s_cc[3])
-    kdir = bn1 - (s3cc_eff - 1.0) * rr3c
-    kdir = jnp.where(within, kdir, 0.0)
-    efield = efield - jnp.einsum('ij,j,ijd->id', kdir, charges, delta)
+    if use_kernels:
+        efield = efield + ef_direct
+    else:
+        # direct space (calculateFixedElectrostaticsFieldPairIxn PME, cpp:1342-1407)
+        s3cc_eff = jnp.where(same_mol, 2.0, s_cc[3])
+        kdir = bn1 - (s3cc_eff - 1.0) * rr3c
+        kdir = jnp.where(within, kdir, 0.0)
+        efield = efield - jnp.einsum('ij,j,ijd->id', kdir, charges, delta)
 
     # ---- SCF ----
-    s3_dir = jnp.where(within, (1.0 - s_dd[3]) * rr3c - bn1, 0.0)   # preFactor1
-    s5_dir = jnp.where(within, bn2 - (1.0 - s_dd[5]) * rr5c, 0.0)   # preFactor2
+    if not use_kernels:
+        s3_dir = jnp.where(within, (1.0 - s_dd[3]) * rr3c - bn1, 0.0)   # preFactor1
+        s5_dir = jnp.where(within, bn2 - (1.0 - s_dd[5]) * rr5c, 0.0)   # preFactor2
     self_term = (4.0 / 3.0) * alpha ** 3 / _SQRT_PI
 
     def mu_recip_P(mu):
@@ -289,40 +368,45 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
         mu0=mu0)
 
     # ---- direct-space energy/forces/potential ----
-    mu_dot_d_i = jnp.einsum('id,ijd->ij', mu, delta)
-    mu_dot_d_j = jnp.einsum('jd,ijd->ij', mu, delta)
-    qq = charges[:, None] * charges[None, :]
-    gli1 = charges[None, :] * mu_dot_d_i - charges[:, None] * mu_dot_d_j
-    mumu = mu @ mu.T
+    if use_kernels:
+        e_direct, force_pair, pot = elec_pallas.direct_energy_force_pot(
+            setup, th, srow, mu, n, interpret=interpret)
+        forces = -f_elec * force_pair
+    else:
+        mu_dot_d_i = jnp.einsum('id,ijd->ij', mu, delta)
+        mu_dot_d_j = jnp.einsum('jd,ijd->ij', mu, delta)
+        qq = charges[:, None] * charges[None, :]
+        gli1 = charges[None, :] * mu_dot_d_i - charges[:, None] * mu_dot_d_j
+        mumu = mu @ mu.T
 
-    s1cc_e = jnp.where(same_mol, 0.0, s_cc[1])
-    s3cd_e = jnp.where(same_mol, 0.0, s_cd[3])
-    s3cc_f = jnp.where(same_mol, 0.0, s_cc[3])
-    s5cd_f = jnp.where(same_mol, 0.0, s_cd[5])
+        s1cc_e = jnp.where(same_mol, 0.0, s_cc[1])
+        s3cd_e = jnp.where(same_mol, 0.0, s_cd[3])
+        s3cc_f = jnp.where(same_mol, 0.0, s_cc[3])
+        s5cd_f = jnp.where(same_mol, 0.0, s_cd[5])
 
-    e_pair = (bn0 - rr1c * (1.0 - s1cc_e)) * qq \
-        + 0.5 * (bn1 - rr3c * (1.0 - s3cd_e)) * gli1
-    e_direct = 0.5 * jnp.sum(jnp.where(within, e_pair, 0.0))
+        e_pair = (bn0 - rr1c * (1.0 - s1cc_e)) * qq \
+            + 0.5 * (bn1 - rr3c * (1.0 - s3cd_e)) * gli1
+        e_direct = 0.5 * jnp.sum(jnp.where(within, e_pair, 0.0))
 
-    coeff = (bn1 - (1.0 - s3cc_f) * rr3c) * qq \
-        + (bn2 - rr5c * (1.0 - s5cd_f)) * gli1 \
-        + (bn2 - rr5c * (1.0 - s_dd[5])) * mumu \
-        - (bn3 - rr7c * (1.0 - s_dd[7])) * (mu_dot_d_i * mu_dot_d_j)
-    coeff = jnp.where(within, coeff, 0.0)
-    force_pair = jnp.einsum('ij,ijd->id', coeff, delta)
+        coeff = (bn1 - (1.0 - s3cc_f) * rr3c) * qq \
+            + (bn2 - rr5c * (1.0 - s5cd_f)) * gli1 \
+            + (bn2 - rr5c * (1.0 - s_dd[5])) * mumu \
+            - (bn3 - rr7c * (1.0 - s_dd[7])) * (mu_dot_d_i * mu_dot_d_j)
+        coeff = jnp.where(within, coeff, 0.0)
+        force_pair = jnp.einsum('ij,ijd->id', coeff, delta)
 
-    w5 = jnp.where(within, bn2 - rr5c * (1.0 - s_dd[5]), 0.0)
-    force_pair = force_pair + mu * jnp.sum(w5 * mu_dot_d_j, axis=1)[:, None] \
-                            + (w5 * mu_dot_d_i) @ mu
-    w3 = jnp.where(within, bn1 - rr3c * (1.0 - s3cd_e), 0.0)
-    force_pair = force_pair + charges[:, None] * (w3 @ mu) - mu * (w3 @ charges)[:, None]
+        w5 = jnp.where(within, bn2 - rr5c * (1.0 - s_dd[5]), 0.0)
+        force_pair = force_pair + mu * jnp.sum(w5 * mu_dot_d_j, axis=1)[:, None] \
+                                + (w5 * mu_dot_d_i) @ mu
+        w3 = jnp.where(within, bn1 - rr3c * (1.0 - s3cd_e), 0.0)
+        force_pair = force_pair + charges[:, None] * (w3 @ mu) - mu * (w3 @ charges)[:, None]
 
-    forces = -f_elec * force_pair
+        forces = -f_elec * force_pair
 
-    # per-site potential, direct part (cpp:2622-2626)
-    k1 = jnp.where(within, bn0 - rr1c * (1.0 - s1cc_e), 0.0)
-    k3 = jnp.where(within, bn1 - rr3c * (1.0 - s3cd_e), 0.0)
-    pot = k1 @ charges - jnp.sum(k3 * mu_dot_d_j, axis=1)
+        # per-site potential, direct part (cpp:2622-2626)
+        k1 = jnp.where(within, bn0 - rr1c * (1.0 - s1cc_e), 0.0)
+        k3 = jnp.where(within, bn1 - rr3c * (1.0 - s3cd_e), 0.0)
+        pot = k1 @ charges - jnp.sum(k3 * mu_dot_d_j, axis=1)
 
     # ---- reciprocal fixed (cpp:2113-2181) ----
     e_recip_fixed = 0.5 * jnp.sum(charges * phi[:, 0])

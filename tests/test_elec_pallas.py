@@ -1,0 +1,68 @@
+"""Fused Pallas electrostatics kernels (ops/elec_pallas.py) must reproduce
+the XLA dense PME path exactly (same reference formulas, same masks).
+
+Runs the kernels in Pallas interpret mode on CPU float64 - the TPU-compiled
+path is additionally exercised by bench.py and the TPU test mode
+(MBPOL_TEST_TPU=1). The special-function fits (erfc branches, Q(3/4,x) via
+H2) are validated against scipy at f64 here; in f32 production they sit at
+the f32 noise floor (measured: max force error vs float64 truth 0.105 vs
+0.096 for the XLA f32 path on water50 PME).
+"""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fixtures
+from mbpol_openmm_plugin_tpu.models import pme as pme_mod
+from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+from mbpol_openmm_plugin_tpu.system import (compute_virtual_sites,
+                                            make_molecules_whole)
+
+
+@pytest.fixture
+def water50_pme():
+    box = [1.8] * 3
+    sys_, pos = fixtures.load_system('water50', box=box)
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.85,
+                                  target_epsilon=1e-7))
+    pos_v = compute_virtual_sites(sys_, make_molecules_whole(sys_, pos))
+    return pot, pos_v
+
+
+def test_pallas_kernels_match_xla_path(water50_pme):
+    pot, pos_v = water50_pme
+    os.environ['MBPOL_ELEC_PALLAS'] = '0'
+    try:
+        e1, f1, d1 = pme_mod.pme_electrostatics(pot.elec_params, pot.pme, pos_v)
+        os.environ['MBPOL_ELEC_PALLAS'] = 'interpret'
+        e2, f2, d2 = pme_mod.pme_electrostatics(pot.elec_params, pot.pme, pos_v)
+    finally:
+        os.environ.pop('MBPOL_ELEC_PALLAS', None)
+    # identical physics; residual differences are the special-function fits
+    # (deg-16 H2 for Q(3/4,x): term error ~8e-7) and f64 summation order
+    np.testing.assert_allclose(float(e2), float(e1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=2e-3)
+    assert int(d2['iterations']) == int(d1['iterations'])
+
+
+def test_special_function_fits():
+    """erfc branches and H2-based Q(3/4,x) vs scipy."""
+    from scipy.special import erfc as s_erfc
+    from scipy.special import gammaincc
+
+    from mbpol_openmm_plugin_tpu.ops import elec_pallas as EP
+
+    x = jnp.asarray(np.linspace(1e-6, 6.4, 3001))
+    np.testing.assert_allclose(np.asarray(EP._erfc(x)),
+                               s_erfc(np.asarray(x)), atol=5e-11)
+
+    u = np.linspace(1e-4, 5.0, 2001)
+    g = 0.4
+    y = jnp.minimum(g ** 0.25 * jnp.asarray(u), 3.6)
+    q_fit = np.asarray(EP._poly(y, EP._H2_COEF)) * np.exp(-g * u ** 4)
+    q_ref = gammaincc(0.75, g * u ** 4)
+    # the physical Thole term is u * Gamma(3/4) * Q
+    np.testing.assert_allclose(u * 1.2254167 * q_fit, u * 1.2254167 * q_ref,
+                               atol=1e-6)
