@@ -26,6 +26,12 @@ DT_FS = 0.2
 
 def build(dtype_bits=32):
     import jax
+    # persistent compilation cache: compiles over the tunneled TPU are slow
+    # (tens of seconds to minutes) and every fresh process would redo them
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                     '/tmp/mbpol_jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
     # PIP coefficient contractions need true fp32 accumulation (see
     # ops/polyeval.py); never let f32 matmuls decay to bf16 passes.
     jax.config.update('jax_default_matmul_precision', 'highest')
@@ -64,7 +70,11 @@ def build(dtype_bits=32):
                      1.0 / np.where(np.asarray(sys_.masses) > 0, sys_.masses, 1.0), 0.0)
     inv_m = jnp.asarray(inv_m, dtype)[:, None]
 
-    REBUILD = 25    # rebuild the skinned neighbor lists every 25 steps
+    # chunk length between rebuild checks: the displacement-triggered check
+    # costs one host sync per chunk (expensive over a tunneled device), and
+    # at 0.2 fs the O atoms move ~0.001 nm per 100 steps - far below the
+    # skin/2 rebuild threshold - so long chunks are both safe and cheap.
+    REBUILD = 100
 
     def md_chunk(carry, n):
         """Velocity Verlet with SCF warm-starting (induced dipoles carried
@@ -82,22 +92,35 @@ def build(dtype_bits=32):
             return (st, diag['induced_dipoles'], nlists), e
         return jax.lax.scan(body, carry, None, length=n)
 
-    e0, f0, parts0, diag0 = pot._energy_forces_impl(pos)
+    e0, f0, parts0, diag0 = pot.energy_forces(pos)   # jitted cold-start eval
     state = I.MDState(positions=pos, velocities=jnp.zeros_like(pos), forces=f0,
                       potential_energy=e0, box=jnp.asarray(box, dtype),
                       step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(0))
     inner = jax.jit(md_chunk, static_argnames=('n',))
 
+    # displacement-triggered rebuild: the skinned lists stay exact while
+    # every O atom has moved less than skin/2 since the build (pairs can
+    # close at most 2 x max displacement). One tiny jitted reduction per
+    # chunk decides whether the 16 ms list build actually needs to run.
+    o_idx = np.asarray(sys_.o_index)
+    max_disp = jax.jit(lambda p, p0: jnp.max(
+        jnp.linalg.norm(p[o_idx] - p0[o_idx], axis=-1)))
+
     def step_fn(carry, n):
         st, mu = carry
         done = 0
         es = []
+        nl, _ = pot.build_neighbor_lists(st.positions)
+        p_build = st.positions
         while done < n:
             chunk = min(REBUILD, n - done)
-            nl, _ = pot.build_neighbor_lists(st.positions)
             (st, mu, _), e = inner((st, mu, nl), chunk)
             es.append(e)
             done += chunk
+            if done < n and 2.0 * float(max_disp(st.positions, p_build)) \
+                    > 0.8 * pot.config.nlist_skin:
+                nl, _ = pot.build_neighbor_lists(st.positions)
+                p_build = st.positions
         return (st, mu), jnp.concatenate(es)
 
     return (state, diag0['induced_dipoles']), step_fn, float(e0)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -310,7 +311,10 @@ class MBPol:
 
         from mbpol_openmm_plugin_tpu.ops import native
         from mbpol_openmm_plugin_tpu.system import make_molecules_whole
-        pos = make_molecules_whole(self.system, jnp.asarray(positions))
+        # jit the (tiny) imaging computation: eager jnp ops each dispatch a
+        # mini-program to the device - seconds each over a tunneled link
+        pos = jax.jit(lambda p: make_molecules_whole(self.system, p))(
+            jnp.asarray(positions))
         o = np.asarray(pos[self.system.o_index])
         box = self.system.box
         skin = self.config.nlist_skin
@@ -339,14 +343,54 @@ class MBPol:
         self._energy_forces_warm = jax.jit(self._energy_forces_impl)
         return self
 
-    def build_neighbor_lists(self, positions):
-        """Jitted list build for reuse across an MD chunk (pair with
-        nlist_skin > 0 so the lists stay valid between rebuilds)."""
+    def build_neighbor_lists(self, positions, use_native=None):
+        """List build for reuse across an MD chunk (pair with nlist_skin > 0
+        so the lists stay valid between rebuilds).
+
+        Optionally runs the native C++ voxel hash on the host (O(N) work,
+        but each call costs several device<->host round-trips - a win on a
+        co-located host, a loss over a tunneled device link, so the default
+        is the jitted on-device build; set MBPOL_NATIVE_NLIST=1 to opt in).
+        Falls back to the jitted builder when the native library can't be
+        built."""
+        if use_native is None:
+            use_native = os.environ.get('MBPOL_NATIVE_NLIST', '0') == '1'
+        if use_native:
+            try:
+                return self._build_neighbor_lists_native(positions)
+            except Exception:
+                pass
         if not hasattr(self, '_nl_jit'):
             self._nl_jit = jax.jit(lambda p: self._neighbor_lists(
                 make_molecules_whole(self.system, p)))
         pl, tl, diag = self._nl_jit(positions)
         return (pl, tl), diag
+
+    def _build_neighbor_lists_native(self, positions):
+        from mbpol_openmm_plugin_tpu.ops import native
+        sys_ = self.system
+        pos = np.asarray(make_molecules_whole(sys_, jnp.asarray(positions)))
+        o = pos[sys_.o_index]
+        box = sys_.box
+        skin = self.config.nlist_skin
+        dtype = jnp.asarray(positions).dtype
+
+        pairs_np, n_p = native.pair_list(o, box, self.config.cutoff_2b + skin,
+                                         capacity=self.pair_cap)
+        trips_np, n_t = native.triplet_list(o, box, self.config.cutoff_3b + skin,
+                                            capacity=self.trip_cap)
+        pairs = np.zeros((self.pair_cap, 2), np.int32)
+        pairs[:len(pairs_np)] = pairs_np
+        trips = np.zeros((self.trip_cap, 3), np.int32)
+        trips[:len(trips_np)] = trips_np
+        pmask = np.arange(self.pair_cap) < n_p
+        tmask = np.arange(self.trip_cap) < n_t
+        out = ((jnp.asarray(pairs), jnp.asarray(pmask)),
+               (jnp.asarray(trips), jnp.asarray(tmask)))
+        diag = dict(n_pairs=n_p, n_triplets=n_t,
+                    pair_overflow=n_p > self.pair_cap,
+                    triplet_overflow=n_t > self.trip_cap)
+        return out, diag
 
     def energy_forces(self, positions, mu0=None):
         """Returns (total energy kJ/mol, forces kJ/mol/nm [natoms,3],
