@@ -1,6 +1,7 @@
 """MD loop tests: NVE energy conservation on the water3 cluster (mirrors the
 reference's water14 NVE example intent, python/water14.py) plus thermostat,
 checkpoint/resume determinism, and minimization."""
+import jax.numpy as jnp
 import numpy as np
 
 import fixtures
@@ -93,3 +94,43 @@ def test_dynamic_box_matches_static():
     e_dyn, f_dyn, _, _ = pot._energy_forces_impl(pos, box=jnp.asarray([1.8, 1.8, 1.8]))
     np.testing.assert_allclose(float(e_dyn), float(e_static), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(f_dyn), np.asarray(f_static), rtol=1e-9, atol=1e-9)
+
+
+def test_health_check_raises_on_scf_nonconvergence():
+    """The reference throws on induced-dipole non-convergence
+    (MBPolReferenceElectrostaticsForce.cpp:888-894); here the flag comes
+    back through diag and Simulation.step(check_health=True) raises."""
+    import pytest
+
+    from mbpol_openmm_plugin_tpu.md.simulation import (Simulation,
+                                                       SimulationConfig)
+    sys_, pos = fixtures.load_system('water14')
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff',
+                                  target_epsilon=1e-12, max_iterations=2))
+    _, _, _, diag = pot.energy_forces(pos)
+    assert not bool(diag['converged'])
+    sim = Simulation(pot, SimulationConfig(dt=2e-4))
+    sim.set_positions(pos)
+    with pytest.raises(RuntimeError, match='health'):
+        sim.step(2)
+
+
+def test_water3_fails_geometry_converges():
+    """The reference ships water3_fails.pdb as a known-bad configuration;
+    the strained geometry (a ~1.0 A OH bond) converges under the same SOR
+    semantics here (49 monotone iterations) - regression-pin that."""
+    rows = []
+    pdb = ("-0.235 0.180 0.190/0.179 -0.435 -0.377/0.220 0.088 1.073/-0.050 0.029 0.257|"
+           "-2.899 0.453 0.445/-1.891 0.375 0.249/-3.372 0.256 -0.373/-2.785 0.395 0.228|"
+           "0.843 0.487 3.156/0.221 1.159 3.577/1.088 -0.113 3.875/0.762 0.502 3.399")
+    for mol in pdb.split('|'):
+        for atom in mol.split('/'):
+            rows.append([float(x) for x in atom.split()])
+    from mbpol_openmm_plugin_tpu.system import System, compute_virtual_sites
+    sys_ = System.waters(3)
+    pos = compute_virtual_sites(sys_, jnp.asarray(np.array(rows) / 10.0))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff',
+                                  target_epsilon=1e-7, max_iterations=100))
+    e, f, parts, diag = pot.energy_forces(pos)
+    assert bool(diag['converged'])
+    assert np.isfinite(float(e)) and np.all(np.isfinite(np.asarray(f)))
