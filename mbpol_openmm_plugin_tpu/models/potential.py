@@ -109,7 +109,16 @@ class MBPol:
             self.pme = None
         mode = config.electrostatics_mode
         if mode == 'auto':
-            mode = 'sparse' if (self.pme is not None and system.n_waters > 512) else 'dense'
+            # dense direct space up to ~2.5k waters: the fused Pallas pair
+            # kernels make the O(N^2) chain compute-cheap, and the only
+            # O(N^2) memory is s3/s5/delta (~44 bytes/site-pair, ~1.3 GB at
+            # 8192 sites). Beyond that, the molecule-pair-list sparse path
+            # (O(N) memory) takes over. Measured at water2048 on v5e:
+            # sparse 193 ms vs dense+Pallas ~45 ms per evaluation.
+            import jax as _jax
+            dense_limit = 2560 if _jax.default_backend() == 'tpu' else 512
+            mode = 'sparse' if (self.pme is not None
+                                and system.n_waters > dense_limit) else 'dense'
         self.elec_mode = mode
         if self.elec_mode == 'sparse':
             if self.pme is None:
