@@ -86,19 +86,58 @@ def load_quad(name):
     return np.asarray(d['basis_exponents']), np.asarray(d['W'])
 
 
-def pip_quad_energy_and_grad(x, F, W):
+@functools.lru_cache(maxsize=None)
+def _quad_factor_selectors(name):
+    """One-hot factor-selection matrices A, B [V+1, B] such that
+    m2 = (xa @ A) * (xa @ B) with xa = [x, 1]: every degree-<=2 basis
+    monomial is an EXACT product of two augmented variables. This avoids
+    the exp(log x @ F) round trip, whose f32 exponent rounding (~2e-6
+    absolute) turns into ~1e-5 relative monomial error - amplified by the
+    PIP's canceling coefficients to several kcal/mol on close dimers."""
+    F, _ = load_quad(name)
+    b, v = F.shape
+    A = np.zeros((v + 1, b), np.float32)
+    B = np.zeros((v + 1, b), np.float32)
+    for k in range(b):
+        nz = np.nonzero(F[k])[0]
+        if len(nz) == 0:                      # constant
+            A[v, k] = 1.0
+            B[v, k] = 1.0
+        elif len(nz) == 1:
+            i = nz[0]
+            A[i, k] = 1.0
+            B[i if F[k, i] == 2 else v, k] = 1.0
+        else:
+            A[nz[0], k] = 1.0
+            B[nz[1], k] = 1.0
+    return A, B
+
+
+def quad_basis(x, name):
+    """Degree-<=2 basis monomials by exact products (two one-hot matmuls at
+    HIGHEST so the f32 values pass through unrounded)."""
+    A, B = _quad_factor_selectors(name)
+    xa = jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
+    hi = jax.lax.Precision.HIGHEST
+    return (jnp.dot(xa, jnp.asarray(A, x.dtype), precision=hi)
+            * jnp.dot(xa, jnp.asarray(B, x.dtype), precision=hi))
+
+
+def pip_quad_energy_and_grad(x, F, W, name=None):
     """Quadratic-form PIP evaluation: ~18x fewer FLOPs than the monomial
     expansion (528/703-column basis instead of 12.7k/33.5k monomials), with
     the gradient reusing the W matvec: dE/dm2 = 2 W m2."""
     # The W matvec must run at HIGHEST: its coefficient cancellation on
     # *physical* configurations (variables spanning e-4..1) loses ~46
     # kcal/mol on water256 at HIGH/bf16x3 (random-point tests do not expose
-    # this). The basis/gradient contractions (integer exponents, benign
-    # ranges) are fine at HIGH.
+    # this). The gradient contraction is per-variable (<= ~40 nonzero F
+    # entries per column), so HIGH suffices there.
     Ft = F.astype(x.dtype)
     Wt = W.astype(x.dtype)
-    logx = jnp.log(x)
-    m2 = jnp.exp(jnp.dot(logx, Ft.T, precision=_PREC))      # [P, B]
+    if name is not None:
+        m2 = quad_basis(x, name)                            # exact products
+    else:
+        m2 = jnp.exp(jnp.dot(jnp.log(x), Ft.T, precision=_PREC))
     wm = jnp.dot(m2, Wt, precision=jax.lax.Precision.HIGHEST)
     e = jnp.sum(m2 * wm, axis=-1)
     g = jnp.dot(m2 * (2.0 * wm), Ft, precision=_PREC) / x
@@ -137,7 +176,8 @@ def pip_apply(name):
             # fused Pallas variant (pip_quad_energy_grad_tpu) is 9x slower
             # at HIGHEST; XLA fuses this fine.
             F, W = load_quad(name)
-            return pip_quad_energy_and_grad(x, jnp.asarray(F), jnp.asarray(W))
+            return pip_quad_energy_and_grad(x, jnp.asarray(F), jnp.asarray(W),
+                                            name=name)
         if choice == 'quad_pallas':
             from mbpol_openmm_plugin_tpu.ops.pip_pallas import \
                 pip_quad_energy_grad_tpu
