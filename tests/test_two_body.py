@@ -82,3 +82,20 @@ def test_two_body_out_of_range_pairs_are_zero_and_nan_free():
     g = jax.grad(lambda p: two_body_energy(sys_, p))(jnp.asarray(far))
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.allclose(np.asarray(g), 0.0)
+
+
+def test_quad_basis_gather_matches_exponent_form():
+    """The gather-form exact-product basis must equal exp(log x @ F) in f64
+    (same monomials; the gather form exists because f32 log rounding costs
+    ~0.3 kcal/mol per close dimer - see ops/polyeval.py)."""
+    import jax.numpy as jnp
+
+    from mbpol_openmm_plugin_tpu.ops import polyeval as PE
+    rng = np.random.default_rng(0)
+    for name in ('poly2b', 'poly3b'):
+        F, W = PE.load_quad(name)
+        x = jnp.asarray(rng.uniform(0.05, 0.9, size=(16, F.shape[1])))
+        m2_gather = PE.quad_basis(x, name)
+        m2_exp = jnp.exp(jnp.log(x) @ jnp.asarray(F.T, x.dtype))
+        np.testing.assert_allclose(np.asarray(m2_gather), np.asarray(m2_exp),
+                                   rtol=1e-12)
