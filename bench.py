@@ -41,7 +41,8 @@ def build(dtype_bits=32):
 
     from mbpol_openmm_plugin_tpu.md import integrators as I
     from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
-    from mbpol_openmm_plugin_tpu.system import System, compute_virtual_sites
+    from mbpol_openmm_plugin_tpu.system import (System, compute_virtual_sites,
+                                                make_molecules_whole)
 
     fix = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                'tests', 'fixtures', 'water256_integration_test.npz'))
@@ -70,26 +71,37 @@ def build(dtype_bits=32):
                      1.0 / np.where(np.asarray(sys_.masses) > 0, sys_.masses, 1.0), 0.0)
     inv_m = jnp.asarray(inv_m, dtype)[:, None]
 
-    # chunk length between rebuild checks: the displacement-triggered check
-    # costs one host sync per chunk (expensive over a tunneled device), and
-    # at 0.2 fs the O atoms move ~0.001 nm per 100 steps - far below the
-    # skin/2 rebuild threshold - so long chunks are both safe and cheap.
-    REBUILD = 100
+    o_idx = np.asarray(sys_.o_index)
+    skin = pot.config.nlist_skin
+
+    def rebuild_lists(p):
+        pl, tl, _ = pot._neighbor_lists(make_molecules_whole(sys_, p))
+        return (pl, tl)
 
     def md_chunk(carry, n):
-        """Velocity Verlet with SCF warm-starting (induced dipoles carried
-        across steps) and neighbor-list reuse (lists built with a 0.05 nm
-        skin are rebuilt only between chunks; energies are exact for any
-        superset list - the switches vanish beyond the physical cutoffs)."""
+        """Velocity Verlet with SCF warm-starting (previous step's induced
+        dipoles; a naive 2*mu1-mu2 linear predictor was tried and is
+        UNSTABLE - it pumps energy and NaNs within ~300 steps) and
+        fully on-device displacement-triggered neighbor rebuilds: each step
+        checks max O displacement since the last build and reruns the list
+        build under lax.cond only when 2*disp exceeds half the skin - exact
+        list validity with zero host syncs (the previous chunk-boundary
+        host check cost ~15 ms per boundary over the tunneled link and
+        still left mid-chunk validity to a margin argument)."""
         def body(c, _):
-            st, mu, nlists = c
+            st, mu, nlists, p_build = c
             v_half = st.velocities + 0.5 * dt * st.forces * inv_m
             p = st.positions + dt * v_half
+            disp = jnp.max(jnp.linalg.norm(p[o_idx] - p_build[o_idx], axis=-1))
+            nlists, p_build = jax.lax.cond(
+                2.0 * disp > 0.5 * skin,
+                lambda: (rebuild_lists(p), p),
+                lambda: (nlists, p_build))
             e, f, parts, diag = pot._energy_forces_impl(p, mu, nlists=nlists)
             v = v_half + 0.5 * dt * f * inv_m
             st = dataclasses.replace(st, positions=p, velocities=v, forces=f,
                                      potential_energy=e, step=st.step + 1)
-            return (st, diag['induced_dipoles'], nlists), e
+            return (st, diag['induced_dipoles'], nlists, p_build), e
         return jax.lax.scan(body, carry, None, length=n)
 
     e0, f0, parts0, diag0 = pot.energy_forces(pos)   # jitted cold-start eval
@@ -98,30 +110,11 @@ def build(dtype_bits=32):
                       step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(0))
     inner = jax.jit(md_chunk, static_argnames=('n',))
 
-    # displacement-triggered rebuild: the skinned lists stay exact while
-    # every O atom has moved less than skin/2 since the build (pairs can
-    # close at most 2 x max displacement). One tiny jitted reduction per
-    # chunk decides whether the 16 ms list build actually needs to run.
-    o_idx = np.asarray(sys_.o_index)
-    max_disp = jax.jit(lambda p, p0: jnp.max(
-        jnp.linalg.norm(p[o_idx] - p0[o_idx], axis=-1)))
-
     def step_fn(carry, n):
         st, mu = carry
-        done = 0
-        es = []
         nl, _ = pot.build_neighbor_lists(st.positions)
-        p_build = st.positions
-        while done < n:
-            chunk = min(REBUILD, n - done)
-            (st, mu, _), e = inner((st, mu, nl), chunk)
-            es.append(e)
-            done += chunk
-            if done < n and 2.0 * float(max_disp(st.positions, p_build)) \
-                    > 0.8 * pot.config.nlist_skin:
-                nl, _ = pot.build_neighbor_lists(st.positions)
-                p_build = st.positions
-        return (st, mu), jnp.concatenate(es)
+        (st, mu, _, _), es = inner((st, mu, nl, st.positions), n)
+        return (st, mu), es
 
     return (state, diag0['induced_dipoles']), step_fn, float(e0)
 
