@@ -14,7 +14,11 @@ same-water scale conventions); equivalence is asserted in
 tests/test_pme_sparse.py against the dense path.
 
 Requires the standard contiguous OHHM stride-4 layout (System.waters), which
-lets all [N,3] <-> [nmol,4,3] conversions be reshapes instead of gathers.
+lets all [N,3] <-> [nmol,4,3] conversions be reshapes instead of gathers,
+and cutoff <= box/2 (the reference enforces the same at context init,
+MBPolReferenceKernels.cpp:219-222; beyond it multiple periodic images fall
+inside the cutoff and the minimum-image pair-list decomposition no longer
+matches the dense path).
 """
 from __future__ import annotations
 
@@ -52,7 +56,7 @@ def _slot_tables(params: elec.ElecParams, dtype):
 
 def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
                               positions, mol_pairs, pair_mask, mu0=None,
-                              box=None):
+                              box=None, mesh=None):
     """PME energy/forces/diagnostics on a padded molecule-pair list.
 
     Args:
@@ -61,6 +65,10 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
       mol_pairs: [P, 2] int32 molecule-index pairs with min-image O-O
         distance < cutoff + PAIR_MARGIN (+ skin); any superset is exact.
       pair_mask: [P] validity for padding.
+      mesh: optional jax.sharding.Mesh - the pair dimension P is partitioned
+        over the 'dp' axis; XLA turns the per-molecule segment sums into
+        partial sums + psum over ICI (parallel/mesh.py). Positions, the
+        [nmol,4,*] intra block and the PME grids stay replicated.
     """
     dtype = positions.dtype
     f_elec = units.ELECTRIC
@@ -77,6 +85,12 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
 
     inv_damp, gamma_intra, g_cc, g_cd, g_dd = _slot_tables(params, dtype)
 
+    if mesh is not None:
+        from mbpol_openmm_plugin_tpu.parallel import mesh as M
+        rs = M.row_sharded(mesh)
+        mol_pairs = M.constrain(mol_pairs, rs)
+        pair_mask = M.constrain(pair_mask, rs)
+
     ia = mol_pairs[:, 0]
     ib = mol_pairs[:, 1]
 
@@ -84,6 +98,8 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
     pa = pos4[ia]                                   # [P,4,3]
     pb = pos4[ib]
     delta = pb[:, None, :, :] - pa[:, :, None, :]   # [P,4,4,3] (r_b - r_a)
+    if mesh is not None:
+        delta = M.constrain(delta, rs)
     delta = delta - jnp.floor(delta / box + 0.5) * box
     r2 = jnp.sum(delta * delta, axis=-1)
     within = pair_mask[:, None, None] & (r2 <= setup.cutoff ** 2)

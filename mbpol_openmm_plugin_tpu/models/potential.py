@@ -57,6 +57,12 @@ class MBPolConfig:
     # skin matched to the actual O-atom displacement per rebuild interval
     # (the lists key on O-O distances only).
     compact_eval: Optional[bool] = None
+    # 'complete' (full switch-product support) or 'reference' (bit-parity
+    # with ReferenceThreeNeighborList.cpp:215-225 ascending-chain
+    # enumeration, which misses some two-edge triplets; ops/neighbors.py).
+    # Only meaningful with neighbor lists; compaction is disabled for
+    # 'reference' (its enumeration is order-dependent, not geometric).
+    triplet_semantics: str = 'complete'
     include_charge_redistribution: bool = True
     ewald_error_tolerance: float = 1e-4
     ewald_alpha: Optional[float] = None      # derived from tolerance if None
@@ -115,8 +121,14 @@ class MBPol:
             # 8192 sites). Beyond that, the molecule-pair-list sparse path
             # (O(N) memory) takes over. Measured at water2048 on v5e:
             # sparse 193 ms vs dense+Pallas ~45 ms per evaluation.
-            import jax as _jax
-            dense_limit = 2560 if _jax.default_backend() == 'tpu' else 512
+            # The raised limit only applies when the Pallas kernels are
+            # actually eligible (f32 TPU, unsharded): the XLA dense fallback
+            # materializes ~35 [N,N] tensors and OOMs far earlier.
+            from mbpol_openmm_plugin_tpu.ops import elec_pallas
+            import jax.numpy as _jnp
+            pallas_ok = (elec_pallas.use_pallas(_jnp.float32)
+                         and mesh is None)
+            dense_limit = 2560 if pallas_ok else 512
             mode = 'sparse' if (self.pme is not None
                                 and system.n_waters > dense_limit) else 'dense'
         self.elec_mode = mode
@@ -128,10 +140,15 @@ class MBPol:
             self.elec_pair_cap = neighbors.pair_capacity(
                 system.n_waters, system.box, cut,
                 factor=config.neighbor_capacity_factor)
+            if mesh is not None:
+                from mbpol_openmm_plugin_tpu.parallel import mesh as M
+                self.elec_pair_cap = M.round_up(self.elec_pair_cap,
+                                                mesh.devices.size)
         use_nl = config.use_neighbor_lists
         self.use_neighbor_lists = system.n_waters > 24 if use_nl is None else use_nl
         self.compact_eval = (False if config.compact_eval is None
-                             else config.compact_eval) and self.use_neighbor_lists
+                             else config.compact_eval) and self.use_neighbor_lists \
+            and config.triplet_semantics == 'complete'
         if self.use_neighbor_lists:
             box = system.box
             f = config.neighbor_capacity_factor
@@ -171,9 +188,9 @@ class MBPol:
         # k_max must be static (shapes); derive it from the construction box
         k_max = neighbors.max_neighbors(sys_.n_waters, sys_.box,
                                         self.config.cutoff_3b + skin)
-        trips, tmask, n_t = neighbors.triplet_list(o_pos, box,
-                                                   self.config.cutoff_3b + skin,
-                                                   self.trip_cap, k_max=k_max)
+        trips, tmask, n_t = neighbors.triplet_list(
+            o_pos, box, self.config.cutoff_3b + skin, self.trip_cap,
+            k_max=k_max, semantics=self.config.triplet_semantics)
         if self.mesh is not None:
             from mbpol_openmm_plugin_tpu.parallel import mesh as M
             rs = M.row_sharded(self.mesh)
@@ -274,7 +291,7 @@ class MBPol:
                 diag['elec_pair_overflow'] = n_mp > self.elec_pair_cap
                 e_elec, f_elec, ediag = pme_sparse.pme_electrostatics_sparse(
                     self.elec_params, self.pme, pos_v, mp, mp_mask, mu0=mu0,
-                    box=box)
+                    box=box, mesh=self.mesh)
             elif self.pme is not None:
                 e_elec, f_elec, ediag = pme_mod.pme_electrostatics(
                     self.elec_params, self.pme, pos_v, mesh=self.mesh, mu0=mu0,
@@ -348,6 +365,10 @@ class MBPol:
             ndev = self.mesh.devices.size
             self.pair_cap = M.round_up(self.pair_cap, ndev)
             self.trip_cap = M.round_up(self.trip_cap, ndev)
+            self.pair_eval_cap = M.round_up(self.pair_eval_cap, ndev)
+            self.trip_eval_cap = M.round_up(self.trip_eval_cap, ndev)
+            if getattr(self, 'elec_mode', 'dense') == 'sparse':
+                self.elec_pair_cap = M.round_up(self.elec_pair_cap, ndev)
         self._energy_forces = jax.jit(self._energy_forces_impl)
         self._energy_forces_warm = jax.jit(self._energy_forces_impl)
         return self
