@@ -268,11 +268,14 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
     # box, unsharded): recompute the whole pair chain per VMEM tile instead
     # of materializing ~35 [N,N] tensors in HBM (ops/elec_pallas.py).
     from mbpol_openmm_plugin_tpu.ops import elec_pallas
-    use_kernels = (elec_pallas.use_pallas(dtype) and mesh is None
-                   and not isinstance(box, jnp.ndarray))
+    eligible = mesh is None and not isinstance(box, jnp.ndarray)
+    use_kernels = elec_pallas.use_pallas(dtype) and eligible
     interpret = False
     import os
-    if os.environ.get('MBPOL_ELEC_PALLAS') == 'interpret':
+    if os.environ.get('MBPOL_ELEC_PALLAS') == 'interpret' and eligible:
+        # interpret-mode override for CPU testing of the kernels; it must
+        # still respect the mesh/static-box eligibility (the kernels bake in
+        # the static setup.box and have no sharding annotations)
         use_kernels, interpret = True, True
 
     if use_kernels:

@@ -96,6 +96,11 @@ def _quad_factor_selectors(name):
     PIP's canceling coefficients to several kcal/mol on close dimers."""
     F, _ = load_quad(name)
     b, v = F.shape
+    if F.sum(axis=1).max() > 2:
+        raise ValueError(
+            f'{name}: quadratic-form basis has a column of total degree '
+            f'{int(F.sum(axis=1).max())} > 2; the two-factor product '
+            'decomposition does not apply (re-run tools/factor_pip.py)')
     A = np.zeros((v + 1, b), np.float32)
     B = np.zeros((v + 1, b), np.float32)
     for k in range(b):
@@ -108,6 +113,8 @@ def _quad_factor_selectors(name):
             A[i, k] = 1.0
             B[i if F[k, i] == 2 else v, k] = 1.0
         else:
+            assert len(nz) == 2 and F[k, nz[0]] == 1 and F[k, nz[1]] == 1, \
+                (name, k, F[k, nz])
             A[nz[0], k] = 1.0
             B[nz[1], k] = 1.0
     return A, B
