@@ -122,6 +122,21 @@ class ForceField:
                     float(e.attrib['thole-dipole-dipole-singlebond']),
                     float(e.attrib['thole-dipole-dipole']),
                 ])
+            else:
+                # Older per-Residue dialect used by the reference's shipped
+                # variant file (mbpol_no_custom_dispersion_no_charge_
+                # redistribution.xml:31): five explicitly-named attributes
+                # on the water <Residue> row.
+                for res in e.findall('Residue'):
+                    if 'thole-charge-charge' in res.attrib:
+                        self.thole = np.array([
+                            float(res.attrib['thole-charge-charge']),
+                            float(res.attrib['thole-charge-dipole']),
+                            float(res.attrib['thole-dipole-dipole-intermolecules']),
+                            float(res.attrib['thole-dipole-dipole-OH']),
+                            float(res.attrib['thole-dipole-dipole-HH']),
+                        ])
+                        break
             toggle = e.find('setIncludeChargeRedistribution')
             if toggle is not None:
                 self.include_charge_redistribution = \
@@ -156,6 +171,15 @@ class ForceField:
     def createSystem(self, topology, nonbondedMethod=NoCutoff,
                      nonbondedCutoff=1.0 * unit.nanometer,
                      ewaldErrorTolerance=1e-4, **kwargs):
+        if nonbondedMethod == CutoffPeriodic and self.has_electrostatics:
+            # Reference parity: the electrostatics generator's methodMap has
+            # no CutoffPeriodic entry and raises (reference python/mbpol.py:
+            # 291-296) - cluster electrostatics applies no minimum imaging,
+            # so silently accepting it would mix non-imaged electrostatics
+            # with imaged 2b/3b terms.
+            raise ValueError(
+                'CutoffPeriodic is not a valid nonbonded method for MB-pol '
+                'electrostatics; use PME for periodic systems')
         box = topology.getUnitCellDimensions()
         periodic = nonbondedMethod in (PME, CutoffPeriodic)
         sys_ = System.from_atom_names(topology.atom_names, topology.residue_names,

@@ -76,8 +76,20 @@ def pair_list(o_pos, box, cutoff, capacity):
     return jnp.stack([ii, jj], axis=1).astype(jnp.int32), mask, jnp.sum(upper)
 
 
-def triplet_list(o_pos, box, cutoff, capacity, k_max=None):
-    """Padded triplet list: all unordered {a,b,c} with >= 2 O-O edges.
+def triplet_list(o_pos, box, cutoff, capacity, k_max=None,
+                 semantics='complete'):
+    """Padded triplet list.
+
+    semantics='complete' (default): all unordered {a,b,c} with >= 2 O-O
+    edges - the full support of the 3-body switch product, permutation
+    independent (see module docstring).
+    semantics='reference': bit-parity with the reference's enumeration
+    (ReferenceThreeNeighborList.cpp:215-225): nearbyAtoms[x] holds only
+    previously-inserted atoms (y < x), so the emitted set is exactly the
+    middle-centered ascending chains {a < b < c : edge(a,b) and edge(b,c)}
+    - triplets whose only two edges share the smallest or largest index
+    are missed, making the energy depend on molecule numbering. Provided
+    as an opt-in strict-parity mode (MBPolConfig.triplet_semantics).
 
     Returns (triplets [capacity,3] int32 as (i, center, k), mask, n_found)."""
     n = o_pos.shape[0]
@@ -96,8 +108,11 @@ def triplet_list(o_pos, box, cutoff, capacity, k_max=None):
     vk = valid[:, None, :]
     pq_upper = (jnp.arange(k_max)[:, None] < jnp.arange(k_max)[None, :])[None]
     cand = vi & vk & pq_upper                                      # i < k guaranteed
-    ik_edge = edge[i_idx, k_idx]
-    keep = cand & (~ik_edge | (centers < i_idx))
+    if semantics == 'reference':
+        keep = cand & (i_idx < centers) & (centers < k_idx)
+    else:
+        ik_edge = edge[i_idx, k_idx]
+        keep = cand & (~ik_edge | (centers < i_idx))
 
     flat = keep.reshape(-1)
     sel = jnp.nonzero(flat, size=capacity, fill_value=0)[0]

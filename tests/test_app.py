@@ -127,3 +127,72 @@ def test_xml_variant_no_dispersion_no_redistribution(pdb_dir, tmp_path):
     v = e.value_in_unit(unit.kilocalorie_per_mole)
     assert np.isfinite(v)
     assert not sim.potential.config.include_charge_redistribution
+
+
+def test_cutoff_periodic_electrostatics_rejected(pdb_dir):
+    """Reference parity: the electrostatics generator has no CutoffPeriodic
+    entry in its methodMap and raises (reference python/mbpol.py:291-296);
+    silently falling back to non-imaged cluster electrostatics on a periodic
+    box would mix imaging conventions across terms."""
+    pdb = app.PDBFile(pdb_dir['water3'])
+    pdb.topology.setUnitCellDimensions([1.9, 1.9, 1.9])
+    ff = app.ForceField(app.mbpol_xml_path())
+    with pytest.raises(ValueError, match='CutoffPeriodic'):
+        ff.createSystem(pdb.topology, nonbondedMethod=app.CutoffPeriodic,
+                        nonbondedCutoff=0.9 * unit.nanometer)
+
+
+def test_shipped_xml_variants(pdb_dir):
+    """The ported variant parameter files ship in the package (reference
+    ships mbpol_no_custom_dispersion_no_charge_redistribution.xml and
+    customdispersion.xml under python/)."""
+    d = os.path.dirname(app.mbpol_xml_path())
+    ff = app.ForceField(os.path.join(
+        d, 'mbpol_no_custom_dispersion_no_charge_redistribution.xml'))
+    assert ff.has_electrostatics and ff.has_one_body
+    assert not ff.has_dispersion
+    assert not ff.include_charge_redistribution
+    pdb = app.PDBFile(pdb_dir['water3'])
+    system = ff.createSystem(pdb.topology, nonbondedMethod=app.CutoffNonPeriodic,
+                             nonbondedCutoff=0.9 * unit.nanometer)
+    assert system.getNumForces() == 5       # no dispersion force
+    sim = app.Simulation(pdb.topology, system,
+                         app.VerletIntegrator(0.02 * unit.femtoseconds))
+    sim.context.setPositions(pdb.positions)
+    e = sim.context.getState(getEnergy=True).getPotentialEnergy()
+    assert np.isfinite(e.value_in_unit(unit.kilocalorie_per_mole))
+    assert not sim.potential.config.include_charge_redistribution
+
+
+def test_shipped_customdispersion_xml(pdb_dir):
+    """Dispersion-only force field reproduces the dispersion golden
+    (python/tests/TestCustomDispersion.py:14, water3 -6.84471477 kcal/mol)."""
+    d = os.path.dirname(app.mbpol_xml_path())
+    ff = app.ForceField(os.path.join(d, 'customdispersion.xml'))
+    assert ff.has_dispersion and not ff.has_electrostatics
+    pdb = app.PDBFile(pdb_dir['water3'])
+    system = ff.createSystem(pdb.topology, nonbondedMethod=app.CutoffNonPeriodic,
+                             nonbondedCutoff=1.0 * unit.nanometer)
+    sim = app.Simulation(pdb.topology, system,
+                         app.VerletIntegrator(0.02 * unit.femtoseconds))
+    sim.context.setPositions(pdb.positions)
+    e = sim.context.getState(getEnergy=True).getPotentialEnergy()
+    assert abs(e.value_in_unit(unit.kilocalorie_per_mole) - (-6.84471477)) < 0.01
+
+
+def test_old_dialect_per_residue_thole(tmp_path):
+    """The reference's variant file carries the Thole parameters as five
+    per-Residue attributes (older dialect); the parser must map them to
+    [TCC, TCD, TDD, TDDOH, TDDHH]."""
+    xml = """<ForceField>
+    <MBPolElectrostaticsForce>
+        <Residue name="HOH" class1="O" class2="H" class3="H" thole-charge-charge="0.4" thole-charge-dipole="0.4" thole-dipole-dipole-intermolecules="0.055" thole-dipole-dipole-OH="0.626" thole-dipole-dipole-HH="0.055"/>
+        <Atom type="MBPol-O" charge="-5.1966000e-01" damping-factor="0.00131" polarizability="0.00131" />
+        <setIncludeChargeRedistribution chargeRedistribution="False"/>
+    </MBPolElectrostaticsForce>
+</ForceField>"""
+    p = tmp_path / 'old_dialect.xml'
+    p.write_text(xml)
+    ff = app.ForceField(str(p))
+    np.testing.assert_allclose(ff.thole, [0.4, 0.4, 0.055, 0.626, 0.055])
+    assert not ff.include_charge_redistribution

@@ -80,3 +80,34 @@ def test_three_body_far_triplet_zero_nan_free():
     assert float(e) == 0.0
     g = jax.grad(lambda p: three_body_energy(sys_, p))(jnp.asarray(far))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_triplet_semantics_reference_parity_water50():
+    """Opt-in strict-parity triplet mode vs the default complete set.
+
+    The reference's enumeration (ReferenceThreeNeighborList.cpp:215-225)
+    emits only middle-centered ascending chains {a<b<c: edge(a,b), edge(b,c)}
+    and therefore misses two-edge triplets whose shared center is the
+    smallest or largest index. On the water50 fixture (0.45 nm cutoff,
+    1.8 nm box) that is 1.2847 kcal/mol of three-body energy - the documented
+    deviation (ops/neighbors.py docstring). Both values are pinned so a
+    change to either enumeration is caught.
+    """
+    import fixtures
+    from mbpol_openmm_plugin_tpu.ops import neighbors
+
+    sys_, pos = fixtures.load_system('water50', box=[1.8, 1.8, 1.8])
+    o_pos = pos[sys_.o_index]
+    box = sys_.box
+    cutoff = 0.45
+    cap = neighbors.triplet_capacity(sys_.n_waters, box, cutoff)
+    vals = {}
+    for sem in ('complete', 'reference'):
+        trips, mask, n = neighbors.triplet_list(o_pos, box, cutoff, cap,
+                                                semantics=sem)
+        assert int(n) <= cap
+        e = three_body_energy(sys_, pos, trips, mask, box=jnp.asarray(box))
+        vals[sem] = float(e) * units.KJ_PER_MOL_TO_KCAL_PER_MOL
+    assert abs(vals['complete'] - 3.848850) < 1e-4, vals
+    assert abs(vals['reference'] - 2.564164) < 1e-4, vals
+    assert abs((vals['complete'] - vals['reference']) - 1.284686) < 1e-4
