@@ -9,7 +9,17 @@ is the speedup over the reference-equivalent single-thread CPU evaluation
 (denominator recorded in BASELINE_LOCAL.json by tools/measure_cpu_baseline.py;
 the reference itself publishes no numbers - SURVEY section 6).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Two numbers are emitted: the 100-step protocol figure from the converged
+fixture (the headline `value`, comparable across rounds), and a thermalized
+steady-state figure (`extra.steady_state_steps_per_second`): after ~1 ps of
+dynamics the SCF needs 2-4 warm iterations/step, which is the physically
+honest operating point. The SCF is warm-started with a Kolafa ASPC
+predictor (always-stable predictor-corrector coefficients over the last
+k+2 converged dipole sets; J. Comput. Chem. 25, 335 (2004)) - this only
+changes the SCF starting guess, the converged fixed point (and hence the
+physics) is unchanged within target_epsilon.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 import json
 import os
@@ -21,7 +31,28 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_STEPS = int(os.environ.get('BENCH_STEPS', 100))
+STEADY_THERM = int(os.environ.get('BENCH_THERM_STEPS', 900))
+STEADY_STEPS = int(os.environ.get('BENCH_STEADY_STEPS', 1000))
 DT_FS = 0.2
+
+# Kolafa ASPC predictor coefficients (k -> B_j over mu_{t}, mu_{t-1}, ...);
+# each row sums to 1, so a history initialized by tiling the first converged
+# dipoles degenerates to the plain warm start for the first steps.
+# k = -1 is the plain previous-step warm start (predictor = mu_t).
+# MEASURED (r2, water256 TPU): feeding an extrapolated predictor into the
+# convergence loop with the loose 1e-3 target is UNSTABLE for every k >= 0
+# (NaN within ~1000 steps; same failure mode as the documented naive
+# 2*mu1-mu2 attempt) - extrapolation is only safe as true ASPC (predictor
+# + exactly one damped corrector, BENCH_SCF=aspc), where time-reversibility
+# bounds the energy drift (Kolafa, J. Comput. Chem. 25, 335 (2004)).
+_ASPC_B = {
+    -1: [1.0],
+    0: [2.0, -1.0],
+    1: [2.5, -2.0, 0.5],
+    2: [2.8, -2.8, 1.2, -0.2],
+    3: [3.0, -24.0 / 7.0, 27.0 / 14.0, -4.0 / 7.0, 1.0 / 14.0],
+}
+ASPC_K = int(os.environ.get('BENCH_ASPC_K', -1))
 
 
 def build(dtype_bits=32):
@@ -73,35 +104,42 @@ def build(dtype_bits=32):
 
     o_idx = np.asarray(sys_.o_index)
     skin = pot.config.nlist_skin
+    B_aspc = jnp.asarray(_ASPC_B[ASPC_K], dtype)
+    hist_len = len(_ASPC_B[ASPC_K])
 
     def rebuild_lists(p):
-        pl, tl, _ = pot._neighbor_lists(make_molecules_whole(sys_, p))
-        return (pl, tl)
+        pl, tl, diag = pot._neighbor_lists(make_molecules_whole(sys_, p))
+        return (pl, tl), diag['pair_overflow'] | diag['triplet_overflow']
 
     def md_chunk(carry, n):
-        """Velocity Verlet with SCF warm-starting (previous step's induced
-        dipoles; a naive 2*mu1-mu2 linear predictor was tried and is
-        UNSTABLE - it pumps energy and NaNs within ~300 steps) and
-        fully on-device displacement-triggered neighbor rebuilds: each step
-        checks max O displacement since the last build and reruns the list
-        build under lax.cond only when 2*disp exceeds half the skin - exact
-        list validity with zero host syncs (the previous chunk-boundary
-        host check cost ~15 ms per boundary over the tunneled link and
-        still left mid-chunk validity to a margin argument)."""
+        """Velocity Verlet with ASPC-predicted SCF warm starts and fully
+        on-device displacement-triggered neighbor rebuilds: each step checks
+        max O displacement since the last build and reruns the list build
+        under lax.cond only when 2*disp exceeds half the skin - exact list
+        validity with zero host syncs. Rebuild overflow flags are OR-ed
+        through the carry and surfaced in the bench health output (a silent
+        capacity overflow would otherwise truncate lists mid-run)."""
         def body(c, _):
-            st, mu, nlists, p_build = c
+            st, mu_hist, nlists, p_build, ovf = c
             v_half = st.velocities + 0.5 * dt * st.forces * inv_m
             p = st.positions + dt * v_half
             disp = jnp.max(jnp.linalg.norm(p[o_idx] - p_build[o_idx], axis=-1))
-            nlists, p_build = jax.lax.cond(
-                2.0 * disp > 0.5 * skin,
-                lambda: (rebuild_lists(p), p),
-                lambda: (nlists, p_build))
-            e, f, parts, diag = pot._energy_forces_impl(p, mu, nlists=nlists)
+
+            def do_rebuild():
+                nl, o = rebuild_lists(p)
+                return nl, p, ovf | o
+
+            nlists, p_build, ovf = jax.lax.cond(
+                2.0 * disp > 0.5 * skin, do_rebuild,
+                lambda: (nlists, p_build, ovf))
+            mu0 = jnp.einsum('h,hnd->nd', B_aspc, mu_hist)
+            e, f, parts, diag = pot._energy_forces_impl(p, mu0, nlists=nlists)
+            mu_hist = jnp.roll(mu_hist, 1, axis=0).at[0].set(diag['induced_dipoles'])
             v = v_half + 0.5 * dt * f * inv_m
+            ke = 0.5 * jnp.sum(jnp.asarray(sys_.masses, dtype)[:, None] * v * v)
             st = dataclasses.replace(st, positions=p, velocities=v, forces=f,
                                      potential_energy=e, step=st.step + 1)
-            return (st, diag['induced_dipoles'], nlists, p_build), e
+            return (st, mu_hist, nlists, p_build, ovf), (e, ke, diag['iterations'])
         return jax.lax.scan(body, carry, None, length=n)
 
     e0, f0, parts0, diag0 = pot.energy_forces(pos)   # jitted cold-start eval
@@ -111,12 +149,23 @@ def build(dtype_bits=32):
     inner = jax.jit(md_chunk, static_argnames=('n',))
 
     def step_fn(carry, n):
-        st, mu = carry
-        nl, _ = pot.build_neighbor_lists(st.positions)
-        (st, mu, _, _), es = inner((st, mu, nl, st.positions), n)
-        return (st, mu), es
+        st, mu_hist = carry
+        nl, diag = pot.build_neighbor_lists(st.positions)
+        ovf0 = jnp.asarray(bool(diag['pair_overflow']) | bool(diag['triplet_overflow']))
+        (st, mu_hist, _, _, ovf), outs = inner(
+            (st, mu_hist, nl, st.positions, ovf0), n)
+        return (st, mu_hist), outs, ovf
 
-    return (state, diag0['induced_dipoles']), step_fn, float(e0)
+    mu0 = diag0['induced_dipoles']
+    mu_hist0 = jnp.tile(mu0[None], (hist_len, 1, 1))
+    return (state, mu_hist0), step_fn, float(e0)
+
+
+def _timed(step_fn, carry, n):
+    t0 = time.time()
+    carry, outs, ovf = step_fn(carry, n)
+    pes, kes, iters = [np.asarray(o) for o in outs]   # host transfer = sync
+    return carry, (pes, kes, iters, bool(ovf)), time.time() - t0
 
 
 def main():
@@ -124,16 +173,20 @@ def main():
     carry, step_fn, e0 = build(32)
 
     # warmup/compile with the SAME static step count as the measured call
-    carry, pes = step_fn(carry, N_STEPS)
-    _ = np.asarray(pes)     # host transfer = reliable device sync
+    carry, _, _ = _timed(step_fn, carry, N_STEPS)
 
-    t0 = time.time()
-    carry, pes = step_fn(carry, N_STEPS)
-    _ = np.asarray(pes)
-    elapsed = time.time() - t0
-
+    carry, (pes, kes, iters, ovf1), elapsed = _timed(step_fn, carry, N_STEPS)
     steps_per_s = N_STEPS / elapsed
     ns_per_day = steps_per_s * DT_FS * 1e-6 * 86400.0
+
+    # thermalize, then measure the steady-state operating point
+    if STEADY_THERM:
+        carry, _, _ = _timed(step_fn, carry, STEADY_THERM)   # compiles once
+    carry, (spes, skes, siters, ovf2), s_elapsed = _timed(step_fn, carry,
+                                                          STEADY_STEPS)
+    steady_steps_per_s = STEADY_STEPS / s_elapsed
+    etot = spes + skes
+    drift = float(etot[-1] - etot[0])
 
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  'BASELINE_LOCAL.json')
@@ -145,13 +198,22 @@ def main():
         if cpu_steps_per_s:
             vs_baseline = steps_per_s / cpu_steps_per_s
 
-    print(json.dumps(dict(metric='water256_pme_md_steps_per_second',
-                          value=round(steps_per_s, 3), unit='steps/s',
-                          vs_baseline=round(vs_baseline, 2) if vs_baseline else None,
-                          extra=dict(ns_per_day_at_0p2fs=round(ns_per_day, 4),
-                                     initial_energy_kJmol=round(e0, 2),
-                                     n_steps=N_STEPS,
-                                     device=str(jax.devices()[0])))))
+    print(json.dumps(dict(
+        metric='water256_pme_md_steps_per_second',
+        value=round(steps_per_s, 3), unit='steps/s',
+        vs_baseline=round(vs_baseline, 2) if vs_baseline else None,
+        extra=dict(ns_per_day_at_0p2fs=round(ns_per_day, 4),
+                   initial_energy_kJmol=round(e0, 2),
+                   n_steps=N_STEPS,
+                   steady_state_steps_per_second=round(steady_steps_per_s, 3),
+                   steady_state_ns_per_day=round(
+                       steady_steps_per_s * DT_FS * 1e-6 * 86400.0, 4),
+                   steady_state_n_steps=STEADY_STEPS,
+                   steady_state_mean_scf_iters=round(float(siters.mean()), 2),
+                   steady_state_etot_drift_kJmol=round(drift, 3),
+                   aspc_k=ASPC_K,
+                   neighbor_overflow=bool(ovf1 or ovf2),
+                   device=str(jax.devices()[0])))))
 
 
 if __name__ == '__main__':
