@@ -1,7 +1,11 @@
 #!/usr/bin/env python
-"""water2048 bulk scaling run (BASELINE config 4): 2x2x2 replication of the
-water256 box, full PME potential, a few MD steps on the attached TPU.
-Demonstrates the jit neighbor rebuild + padded triplet lists at 8192 sites.
+"""Bulk scaling run (BASELINE config 4): 2x2x2 (water2048) or 2x2x4
+(water4096, pass `4096`) replication of the water256 box, full PME
+potential on the attached TPU. Demonstrates the jit neighbor rebuild +
+padded triplet lists at 8k-16k sites, and compares the electrostatics
+modes: fused dense Pallas (O(N^2) memory, <=2.5k waters), block-sparse
+Pallas tiles (O(N) memory at the fused-kernel speed; ops/elec_pallas_bs.py),
+and the molecule-pair segment-sum path.
 """
 import os
 import sys
@@ -23,35 +27,53 @@ import fixtures
 from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
 from mbpol_openmm_plugin_tpu.system import System, compute_virtual_sites
 
+N_WATERS = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+MODES = (sys.argv[2].split(',') if len(sys.argv) > 2
+         else (['block', 'dense'] if N_WATERS <= 2048 else ['block']))
+
+reps = {2048: (2, 2, 2), 4096: (2, 2, 4), 8192: (2, 4, 4)}[N_WATERS]
 fix = fixtures.load('water256_integration_test')
 b = 19.3996888399961804 / 10.0
 pos_np = np.concatenate([fix['positions'] + np.array([i * b, j * b, k * b])
-                         for i in range(2) for j in range(2) for k in range(2)])
-sys_ = System.waters(2048, box=[2 * b] * 3)
+                         for i in range(reps[0]) for j in range(reps[1])
+                         for k in range(reps[2])])
+box = [reps[0] * b, reps[1] * b, reps[2] * b]
+sys_ = System.waters(N_WATERS, box=box)
 pos = compute_virtual_sites(sys_, jnp.asarray(pos_np, jnp.float32))
-pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9, target_epsilon=1e-3,
-                              nlist_skin=0.02))
-pot.tune_capacities(pos)
-print(f'pair capacity {pot.pair_cap}, triplet capacity {pot.trip_cap}, '
-      f'electrostatics mode {pot.elec_mode}')
 
-t0 = time.time()
-e, f, parts, diag = pot._energy_forces(pos)
-print('compile+eval %.1f s' % (time.time() - t0))
-print('E = %.2f kcal/mol  (8 x water256 = %.2f)' % (float(e) / 4.184, 8 * -2261.7))
-print('per-term (kcal/mol):', {k: round(float(v) / 4.184, 2) for k, v in parts.items()})
-print('SCF iterations:', int(diag['iterations']), 'converged:', bool(diag['converged']))
+for mode in MODES:
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
+                                  target_epsilon=1e-3, nlist_skin=0.02,
+                                  electrostatics_mode=mode))
+    pot.tune_capacities(pos)
+    extra = ''
+    if mode == 'block':
+        extra = ', tile pairs cap %d' % pot._block_info['tile_pair_capacity']
+    print(f'[{mode}] pair capacity {pot.pair_cap}, triplet capacity '
+          f'{pot.trip_cap}{extra}')
 
-# warm evaluation throughput (prebuilt lists, warm dipoles)
-mu = diag['induced_dipoles']
-nl, _ = pot.build_neighbor_lists(pos)
-full = jax.jit(lambda p, m, n: pot._energy_forces_impl(p, m, nlists=n)[:2])
-out = full(pos, mu, nl)
-jax.block_until_ready(out)
-t0 = time.time()
-for _ in range(20):
+    t0 = time.time()
+    e, f, parts, diag = pot._energy_forces(pos)
+    jax.block_until_ready(f)
+    print('[%s] compile+eval %.1f s' % (mode, time.time() - t0))
+    print('[%s] E = %.2f kcal/mol  (%d x water256 = %.2f)'
+          % (mode, float(e) / 4.184, N_WATERS // 256,
+             N_WATERS / 256 * -2261.7))
+    print('[%s] SCF iterations: %d converged: %s %s'
+          % (mode, int(diag['iterations']), bool(diag['converged']),
+             {k: int(diag[k]) for k in ('elec_tile_pairs',) if k in diag}))
+    if any(bool(diag[k]) for k in diag if 'overflow' in k):
+        print('[%s] WARNING: overflow flags set: %s'
+              % (mode, {k: bool(diag[k]) for k in diag if 'overflow' in k}))
+
+    # warm evaluation throughput (prebuilt lists, warm dipoles)
+    mu = diag['induced_dipoles']
+    nl, _ = pot.build_neighbor_lists(pos)
+    full = jax.jit(lambda p, m, n: pot._energy_forces_impl(p, m, nlists=n)[:2])
     out = full(pos, mu, nl)
-jax.block_until_ready(out)
-print('warm evaluation: %.1f ms (v5e reference: ~50 ms with the fused '
-      'Pallas dense electrostatics; the sparse molecule-pair path is ~217 ms)'
-      % ((time.time() - t0) / 20 * 1e3))
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(20):
+        out = full(pos, mu, nl)
+    jax.block_until_ready(out)
+    print('[%s] warm evaluation: %.1f ms' % (mode, (time.time() - t0) / 20 * 1e3))

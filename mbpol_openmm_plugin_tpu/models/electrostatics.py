@@ -274,7 +274,7 @@ def _dipole_field(mu, s3, s5, delta):
 
 def scf_induced_dipoles_diis(efield_alpha, alpha, s3, s5, delta, target_epsilon,
                              max_iterations, extra_field=None, mu0=None,
-                             depth=5):
+                             depth=5, dipole_field=None):
     """DIIS/Anderson-accelerated SCF (the reference's CUDA platform uses DIIS
     for the same reason, multipoleInducedField.cu:374-482 - but solves the
     small system on the host; here everything stays on device).
@@ -293,7 +293,8 @@ def scf_induced_dipoles_diis(efield_alpha, alpha, s3, s5, delta, target_epsilon,
         target_epsilon = max(target_epsilon, 1e-4)
 
     def gmap(mu):
-        field = _dipole_field(mu, s3, s5, delta)
+        field = (_dipole_field(mu, s3, s5, delta) if dipole_field is None
+                 else dipole_field(mu))
         if extra_field is not None:
             field = field + extra_field(mu)
         return efield_alpha + field * alpha[:, None]
@@ -366,7 +367,8 @@ def scf_induced_dipoles_diis(efield_alpha, alpha, s3, s5, delta, target_epsilon,
 
 
 def scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta, target_epsilon,
-                        max_iterations, extra_field=None, mu0=None):
+                        max_iterations, extra_field=None, mu0=None,
+                        dipole_field=None):
     """SOR fixed-point iteration for the induced dipoles.
 
     Args:
@@ -393,7 +395,8 @@ def scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta, target_epsilon,
         target_epsilon = max(target_epsilon, 1e-4)
 
     def one_iter(mu):
-        field = _dipole_field(mu, s3, s5, delta)
+        field = (_dipole_field(mu, s3, s5, delta) if dipole_field is None
+                 else dipole_field(mu))
         if extra_field is not None:
             field = field + extra_field(mu)
         new = efield_alpha + field * alpha[:, None]

@@ -247,11 +247,17 @@ def _bn_factors(alpha, r, inv_r, orders=4):
 
 
 def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
-                       mesh=None, mu0=None, box=None):
+                       mesh=None, mu0=None, box=None, block=None):
     """PME energy (kJ/mol), forces (kJ/mol/nm), diagnostics.
 
     positions: [N,3] nm with M sites placed. `mesh` row-shards the dense
     direct-space tensors across the 'dp' axis (see parallel/mesh.py).
+    `block`: optional dict enabling the block-sparse Pallas direct-space
+    path for large N (ops/elec_pallas_bs.py): keys `site_perm` /
+    `site_perm_inv` (numpy int32 spatial sort of the sites) and
+    `tile_pair_capacity` (static size of the active tile-pair list).
+    O(N) memory at fixed density; requires the same eligibility as the
+    dense kernels (TPU f32, unsharded, static box).
     """
     dtype = positions.dtype
     f_elec = units.ELECTRIC
@@ -277,8 +283,28 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
         # still respect the mesh/static-box eligibility (the kernels bake in
         # the static setup.box and have no sharding annotations)
         use_kernels, interpret = True, True
+    use_bs = block is not None and use_kernels
+    bs_diag = {}
 
-    if use_kernels:
+    if use_bs:
+        from mbpol_openmm_plugin_tpu.ops import elec_pallas_bs as bs
+        perm = np.asarray(block['site_perm'])
+        inv = np.asarray(block['site_perm_inv'])
+        cap = int(block['tile_pair_capacity'])
+        d16_inv = jnp.asarray(
+            np.asarray(params.damping, np.float64) ** (-1.0 / 6.0), dtype)
+        srow = elec_pallas.pack_sites(
+            positions[perm], charges[perm], d16_inv[perm],
+            jnp.asarray(params.mol_index[perm]),
+            jnp.asarray((params.atom_type == 0)[perm]))
+        ti, tj, meta, n_act = bs.active_tile_pairs(
+            srow[:, :3], n, box, setup.cutoff, cap)
+        bs_diag['elec_tile_pairs'] = n_act
+        bs_diag['elec_tile_overflow'] = n_act > cap
+        ef_dir_s, s3b, s5b = bs.fixed_field_and_scf_blocks(
+            setup, th, srow, n, ti, tj, meta, interpret=interpret)
+        s3_dir = s5_dir = delta = None
+    elif use_kernels:
         d16_inv = jnp.asarray(
             np.asarray(params.damping, np.float64) ** (-1.0 / 6.0), dtype)
         srow = elec_pallas.pack_sites(
@@ -334,7 +360,9 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
 
     # ---- fixed field: reciprocal + direct + (no self for charges) ----
     efield = -pscale[None, :] * phi[:, 1:4]               # recordFixedElectrostaticsField
-    if use_kernels:
+    if use_bs:
+        efield = efield + ef_dir_s[inv]
+    elif use_kernels:
         efield = efield + ef_direct
     else:
         # direct space (calculateFixedElectrostaticsFieldPairIxn PME, cpp:1342-1407)
@@ -363,15 +391,31 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
         phid = _phi10(Pd)
         return -pscale[None, :] * phid[:, 1:4] + self_term * mu
 
+    dipole_field = None
+    if use_bs:
+        np_ = srow.shape[0]
+
+        def dipole_field(mu):
+            mp = jnp.zeros((np_, elec_pallas._NS), dtype).at[:n, :3].set(mu[perm])
+            f_s = bs.scf_dipole_field_bs(setup, th, srow, s3b, s5b, mp,
+                                         ti, tj, meta, n, interpret=interpret)
+            return f_s[inv]
+
     scf = (elec.scf_induced_dipoles_diis if params.scf_method == 'diis'
            else elec.scf_induced_dipoles)
     mu, diag = scf(
         efield * alpha_pol[:, None], alpha_pol, s3_dir, s5_dir, delta,
         params.target_epsilon, params.max_iterations, extra_field=extra_field,
-        mu0=mu0)
+        mu0=mu0, dipole_field=dipole_field)
+    diag = dict(diag, **bs_diag)
 
     # ---- direct-space energy/forces/potential ----
-    if use_kernels:
+    if use_bs:
+        e_direct, force_s, pot_s = bs.direct_energy_force_pot_bs(
+            setup, th, srow, mu[perm], n, ti, tj, meta, interpret=interpret)
+        forces = -f_elec * force_s[inv]
+        pot = pot_s[inv]
+    elif use_kernels:
         e_direct, force_pair, pot = elec_pallas.direct_energy_force_pot(
             setup, th, srow, mu, n, interpret=interpret)
         forces = -f_elec * force_pair

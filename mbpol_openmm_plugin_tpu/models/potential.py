@@ -72,8 +72,11 @@ class MBPolConfig:
     scf_method: str = 'sor'          # 'sor' (reference semantics) | 'diis'
     thole: Optional[tuple] = None    # override [TCC,TCD,TDD,TDDOH,TDDHH]; default XML values
     # 'dense' ([N,N] tensors, exact at any cutoff), 'sparse' (molecule-pair
-    # list direct space, O(N) memory - production boxes), or 'auto'
-    # (sparse for PME above 512 waters)
+    # list direct space, O(N) memory - production boxes), 'block'
+    # (block-sparse Pallas tile kernels over spatially sorted sites, O(N)
+    # memory AND the fused-kernel speed - TPU f32 only), or 'auto'
+    # (block for PME above the dense limit when the kernels are eligible,
+    # else sparse; dense below)
     electrostatics_mode: str = 'auto'
     terms: tuple = ('electrostatics', 'one_body', 'two_body', 'three_body', 'dispersion')
 
@@ -129,9 +132,21 @@ class MBPol:
             pallas_ok = (elec_pallas.use_pallas(_jnp.float32)
                          and mesh is None)
             dense_limit = 2560 if pallas_ok else 512
-            mode = 'sparse' if (self.pme is not None
-                                and system.n_waters > dense_limit) else 'dense'
+            if self.pme is not None and system.n_waters > dense_limit:
+                mode = 'block' if pallas_ok else 'sparse'
+            else:
+                mode = 'dense'
         self.elec_mode = mode
+        if self.elec_mode == 'block':
+            if self.pme is None:
+                raise ValueError('block electrostatics requires PME')
+            from mbpol_openmm_plugin_tpu.ops import elec_pallas_bs as _bs
+            n_sites = 4 * system.n_waters
+            # identity permutation until tune_capacities sees real positions;
+            # correctness never depends on the sort (only tile-pair count)
+            self._set_block_perm(np.arange(n_sites),
+                                 _bs.tile_pair_capacity(
+                                     n_sites, system.box, config.cutoff))
         if self.elec_mode == 'sparse':
             if self.pme is None:
                 raise ValueError('sparse electrostatics requires PME')
@@ -174,6 +189,13 @@ class MBPol:
         self._energy_forces_warm = jax.jit(self._energy_forces_impl)
 
     # ------------------------------------------------------------------
+    def _set_block_perm(self, site_perm, cap):
+        site_perm = np.asarray(site_perm, np.int32)
+        inv = np.empty_like(site_perm)
+        inv[site_perm] = np.arange(len(site_perm), dtype=np.int32)
+        self._block_info = dict(site_perm=site_perm, site_perm_inv=inv,
+                                tile_pair_capacity=int(cap))
+
     def _neighbor_lists(self, positions, box=None):
         """Padded pair/triplet lists from current O positions (rebuilt every
         evaluation unless prebuilt lists are passed in; diag carries overflow
@@ -295,7 +317,9 @@ class MBPol:
             elif self.pme is not None:
                 e_elec, f_elec, ediag = pme_mod.pme_electrostatics(
                     self.elec_params, self.pme, pos_v, mesh=self.mesh, mu0=mu0,
-                    box=box)
+                    box=box,
+                    block=(self._block_info if self.elec_mode == 'block'
+                           else None))
             else:
                 e_elec, f_elec, ediag = elec.cluster_electrostatics(
                     self.elec_params, pos_v, mesh=self.mesh, mu0=mu0)
@@ -360,6 +384,33 @@ class MBPol:
             cut = self.config.cutoff + pme_sparse.PAIR_MARGIN + skin
             _, n_e = native.pair_list(o, box, cut)
             self.elec_pair_cap = max(int(margin * n_e) + 16, 64)
+        if getattr(self, 'elec_mode', 'dense') == 'block':
+            from mbpol_openmm_plugin_tpu.ops import elec_pallas_bs as _bs
+            mol_perm = _bs.molecule_sort_permutation(o, box)
+            site_perm = (4 * mol_perm[:, None]
+                         + np.arange(4)[None, :]).reshape(-1)
+            # count actual active tile pairs at the sorted layout (numpy AABB
+            # replica of ops/elec_pallas_bs.active_tile_pairs)
+            n_sites = 4 * self.system.n_waters
+            pos4 = np.asarray(pos).reshape(-1, 3)[site_perm]
+            npad = _bs._padded(n_sites)
+            p = np.zeros((npad, 3))
+            p[:n_sites] = pos4 - np.floor(pos4 / box) * box
+            T = npad // _bs.TI
+            p3 = p.reshape(T, _bs.TI, 3)
+            valid = (np.arange(npad) < n_sites).reshape(T, _bs.TI, 1)
+            mins = np.min(np.where(valid, p3, 1e30), axis=1)
+            maxs = np.max(np.where(valid, p3, -1e30), axis=1)
+            c = 0.5 * (mins + maxs)
+            h = 0.5 * (maxs - mins)
+            dc = c[None] - c[:, None]
+            dc = dc - np.floor(dc / box + 0.5) * np.asarray(box)
+            gap = np.abs(dc) - (h[None] + h[:, None])
+            has = valid[:, :, 0].any(axis=1)
+            act = np.all(gap <= self.config.cutoff, axis=-1) \
+                & has[:, None] & has[None, :]
+            n_act = int(act.sum())
+            self._set_block_perm(site_perm, max(int(margin * n_act) + 8, 16))
         if self.mesh is not None:
             from mbpol_openmm_plugin_tpu.parallel import mesh as M
             ndev = self.mesh.devices.size
@@ -421,6 +472,58 @@ class MBPol:
                     pair_overflow=n_p > self.pair_cap,
                     triplet_overflow=n_t > self.trip_cap)
         return out, diag
+
+    def with_updated_params(self, thole=None, charges=None, damping=None,
+                            polarity=None, target_epsilon=None,
+                            max_iterations=None,
+                            include_charge_redistribution=None):
+        """updateParametersInContext parity (MBPolElectrostaticsForce.h:281,
+        MBPolReferenceKernels.cpp:101-118): a new MBPol with mutated
+        electrostatics parameters for the SAME topology. Static shapes -
+        neighbor/pair capacities, PME setup and tuned list sizes - carry
+        over, so only the (persistent-cache-assisted) XLA re-trace is paid;
+        a particle-count mismatch raises like the reference's kernel check.
+
+        Array arguments: per-particle [N] charges/damping/polarity, [5]
+        thole. Scalars: target_epsilon, max_iterations,
+        include_charge_redistribution.
+        """
+        if self.elec_params is None:
+            raise ValueError('potential has no electrostatics term')
+        ep = self.elec_params
+        n = len(ep.damping)
+        changes = {}
+        for name, val in (('thole', thole), ('charges', charges),
+                          ('damping', damping), ('polarity', polarity)):
+            if val is not None:
+                val = np.asarray(val, np.float64)
+                want = 5 if name == 'thole' else n
+                if val.shape != (want,):
+                    raise ValueError(
+                        f'{name} must have shape ({want},), got {val.shape} '
+                        '(particle count must match the existing system, as '
+                        'in updateParametersInContext)')
+                changes[name] = val
+        if target_epsilon is not None:
+            changes['target_epsilon'] = float(target_epsilon)
+        if max_iterations is not None:
+            changes['max_iterations'] = int(max_iterations)
+        if include_charge_redistribution is not None:
+            changes['include_charge_redistribution'] = bool(include_charge_redistribution)
+        new = object.__new__(MBPol)
+        new.__dict__.update(self.__dict__)
+        new.elec_params = dataclasses.replace(ep, **changes)
+        if include_charge_redistribution is not None or thole is not None:
+            cfg_changes = {}
+            if include_charge_redistribution is not None:
+                cfg_changes['include_charge_redistribution'] = bool(include_charge_redistribution)
+            if thole is not None:
+                cfg_changes['thole'] = tuple(np.asarray(thole, np.float64))
+            new.config = dataclasses.replace(self.config, **cfg_changes)
+        new.__dict__.pop('_nl_jit', None)
+        new._energy_forces = jax.jit(new._energy_forces_impl)
+        new._energy_forces_warm = jax.jit(new._energy_forces_impl)
+        return new
 
     def energy_forces(self, positions, mu0=None):
         """Returns (total energy kJ/mol, forces kJ/mol/nm [natoms,3],

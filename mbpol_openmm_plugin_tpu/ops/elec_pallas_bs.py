@@ -1,0 +1,371 @@
+"""Block-sparse Pallas TPU kernels for large-N PME direct-space electrostatics.
+
+The dense kernels (ops/elec_pallas.py) visit all (i,j) site tiles - O(N^2)
+compute and O(N^2) memory for the retained SCF factor matrices, viable to
+~2.5k waters. Beyond that, most tiles are empty: with sites sorted into
+spatial cells, only tile pairs whose bounding boxes are within the cutoff
+interact. These kernels iterate over a padded ACTIVE tile-pair list via
+scalar prefetch (PrefetchScalarGridSpec): the pair list is sorted row-major,
+so each output row tile is visited by a consecutive run of grid steps and
+accumulates in place (initialized on the run's first step, flagged in the
+prefetched metadata).
+
+Same physics as the dense kernels (reference formulas,
+MBPolReferenceElectrostaticsForce.cpp:2510-2716); the per-tile pair chain is
+shared (_pair_chain). Three kernels:
+
+  K1 `_fixed_field_bs_kernel`: fixed charge field + s3/s5 SCF factor BLOCKS
+     ([P, TI, TJ], only active tiles materialized - O(N) memory at fixed
+     density).
+  K3 `_scf_field_bs_kernel`: one SCF dipole-field evaluation
+     field_i = sum_j s3_ij mu_j + s5_ij (mu_j . d_ij) d_ij over active
+     blocks - the s3 term is a [TI,TJ]x[TJ,3] MXU matmul per block.
+  K2 `_pair_force_bs_kernel`: direct-space energy/forces/per-site potential
+     given converged dipoles.
+
+The active-pair list enumerates BOTH (I,J) and (J,I) (symmetric), so row
+accumulation sees every partner exactly like a dense row sum - no scatter.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mbpol_openmm_plugin_tpu.ops.elec_pallas import (
+    _NS, _Q, _X, _Y, _Z, TI, TJ, _consts, _pair_chain, _padded)
+
+# metadata bit flags per tile pair
+_VALID = 1
+_FIRST_IN_ROW = 2
+
+
+# ----------------------------------------------------------------------
+# Active tile-pair machinery (jittable)
+# ----------------------------------------------------------------------
+
+def tile_pair_capacity(n_sites, box, cutoff, tile=TI, factor=1.3):
+    """Static capacity for the symmetric active tile-pair list."""
+    n_tiles = _padded(n_sites) // tile
+    box = np.asarray(box, np.float64)
+    vol = float(np.prod(box))
+    # sites per tile occupy ~tile/density volume; treat the tile extent as a
+    # cube of that volume and count neighbor tiles within cutoff + 2 extents
+    density = n_sites / vol
+    side = (tile / density) ** (1.0 / 3.0)
+    reach = cutoff + 2.0 * side
+    per = min(n_tiles, int(np.ceil(factor * (4.0 / 3.0) * np.pi * reach ** 3
+                                   * density / tile)) + 3)
+    return min(n_tiles * per, n_tiles * n_tiles)
+
+
+def active_tile_pairs(positions, n_sites, box, cutoff, capacity, tile=TI):
+    """Padded row-major list of active tile pairs from per-tile AABBs.
+
+    positions: [np_, 3] (sites sorted spatially; rows >= n_sites are padding).
+    Returns (ti [cap] int32, tj [cap] int32, meta [cap] int32 bitflags,
+    n_active). Conservative superset: a pair is active when the per-axis
+    minimum-image AABB gap is <= cutoff on every axis.
+    """
+    np_ = positions.shape[0]
+    n_tiles = np_ // tile
+    dtype = positions.dtype
+    b = jnp.asarray(box, dtype)
+    valid_site = (jnp.arange(np_) < n_sites)[:, None]
+    big = jnp.asarray(1e30, dtype)
+    p3 = positions.reshape(n_tiles, tile, 3)
+    v3 = valid_site.reshape(n_tiles, tile, 1)
+    # wrap sites into the primary box before taking bounds (AABB in wrapped
+    # coordinates; the per-axis gap below is computed minimum-image)
+    p3 = p3 - jnp.floor(p3 / b) * b
+    mins = jnp.min(jnp.where(v3, p3, big), axis=1)            # [T,3]
+    maxs = jnp.max(jnp.where(v3, p3, -big), axis=1)
+    center = 0.5 * (mins + maxs)
+    half = 0.5 * (maxs - mins)
+    has_sites = jnp.any(v3[:, :, 0], axis=1)
+
+    dc = center[None, :, :] - center[:, None, :]
+    dc = dc - jnp.floor(dc / b + 0.5) * b
+    gap = jnp.abs(dc) - (half[None, :, :] + half[:, None, :])
+    act = jnp.all(gap <= cutoff, axis=-1)
+    act = act & has_sites[:, None] & has_sites[None, :]
+
+    flat = act.reshape(-1)
+    sel = jnp.nonzero(flat, size=capacity, fill_value=0)[0]   # row-major
+    n_act = jnp.sum(flat)
+    valid = jnp.arange(capacity) < n_act
+    ti = (sel // n_tiles).astype(jnp.int32)
+    tj = (sel % n_tiles).astype(jnp.int32)
+    # padded entries: park on the last row tile so accumulation stays in the
+    # final (already initialized) block; their contribution is masked to 0
+    ti = jnp.where(valid, ti, n_tiles - 1)
+    tj = jnp.where(valid, tj, n_tiles - 1)
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             ti[1:] != ti[:-1]])
+    meta = (valid.astype(jnp.int32) * _VALID
+            + (first & (valid | (jnp.arange(capacity) == 0))).astype(jnp.int32) * 0)
+    # first-in-row must be computed over the FINAL ti sequence (incl. padding
+    # parked on the last row): a padded entry never starts a row because the
+    # diagonal pair (T-1, T-1) is always active and precedes it.
+    meta = meta + first.astype(jnp.int32) * _FIRST_IN_ROW
+    return ti, tj, meta, n_act
+
+
+# ----------------------------------------------------------------------
+# Kernels
+# ----------------------------------------------------------------------
+
+def _fixed_field_bs_kernel(consts, n_sites, ti_ref, tj_ref, meta_ref,
+                           srow_ref, scol_ref, ef_ref, s3_ref, s5_ref):
+    p = pl.program_id(0)
+    meta = meta_ref[p]
+    v = ((meta & _VALID) > 0).astype(srow_ref.dtype)
+
+    @pl.when((meta & _FIRST_IN_ROW) > 0)
+    def _():
+        ef_ref[:] = jnp.zeros_like(ef_ref)
+
+    srow = srow_ref[:]
+    scol = scol_ref[:]
+    i0 = ti_ref[p] * TI
+    j0 = tj_ref[p] * TJ
+    t = _pair_chain(srow, scol, i0, j0, n_sites, consts)
+
+    s3_ref[0] = v * ((1.0 - t['s_dd3']) * t['rr3c'] - t['bn1'])
+    s5_ref[0] = v * (t['bn2'] - (1.0 - t['s_dd5']) * t['rr5c'])
+
+    s3cc_eff = jnp.where(t['same_mol'], 2.0, t['s_cc3'])
+    kdir = (t['bn1'] - (s3cc_eff - 1.0) * t['rr3c']) * t['w'] * v
+    qj = scol[_Q:_Q + 1, :]
+    kq = kdir * qj
+    ef_ref[:, 0:1] -= jnp.sum(kq * t['dx'], axis=1, keepdims=True)
+    ef_ref[:, 1:2] -= jnp.sum(kq * t['dy'], axis=1, keepdims=True)
+    ef_ref[:, 2:3] -= jnp.sum(kq * t['dz'], axis=1, keepdims=True)
+
+
+def _scf_field_bs_kernel(consts, ti_ref, tj_ref, meta_ref, srow_ref, scol_ref,
+                         mcol_ref, s3_ref, s5_ref, f_ref):
+    """field rows += s3_blk @ mu_cols + (s5_blk * (mu_j.d_ij)) row-contracted
+    with d_ij. Recomputes only the (cheap, transcendental-free) deltas."""
+    p = pl.program_id(0)
+    meta = meta_ref[p]
+
+    @pl.when((meta & _FIRST_IN_ROW) > 0)
+    def _():
+        f_ref[:] = jnp.zeros_like(f_ref)
+
+    (alpha, cutoff2, g_cc, g_cd, g_dd, g_ddoh, g_ddhh, bx, by, bz) = consts
+    srow = srow_ref[:]
+    scol = scol_ref[:]
+    xi, yi, zi = srow[:, _X:_X + 1], srow[:, _Y:_Y + 1], srow[:, _Z:_Z + 1]
+    xj, yj, zj = scol[_X:_X + 1, :], scol[_Y:_Y + 1, :], scol[_Z:_Z + 1, :]
+    dx = xj - xi
+    dy = yj - yi
+    dz = zj - zi
+    dx = dx - jnp.floor(dx / bx + 0.5) * bx
+    dy = dy - jnp.floor(dy / by + 0.5) * by
+    dz = dz - jnp.floor(dz / bz + 0.5) * bz
+
+    s3 = s3_ref[0]
+    s5 = s5_ref[0]
+    mcol = mcol_ref[:]                     # [8, TJ]; rows 0..2 are mu
+    mxj, myj, mzj = mcol[0:1, :], mcol[1:2, :], mcol[2:3, :]
+    proj = mxj * dx + myj * dy + mzj * dz
+    s5p = s5 * proj
+
+    # s3 term on the MXU: [TI,TJ] x [TJ,8] (mu in cols 0..2 of the packed
+    # transpose layout)
+    mt = mcol.T                            # [TJ, 8]
+    f_ref[:, 0:3] += jnp.dot(s3, mt[:, 0:3],
+                             preferred_element_type=s3.dtype)
+    f_ref[:, 0:1] += jnp.sum(s5p * dx, axis=1, keepdims=True)
+    f_ref[:, 1:2] += jnp.sum(s5p * dy, axis=1, keepdims=True)
+    f_ref[:, 2:3] += jnp.sum(s5p * dz, axis=1, keepdims=True)
+
+
+def _pair_force_bs_kernel(consts, n_sites, ti_ref, tj_ref, meta_ref,
+                          srow_ref, scol_ref, mrow_ref, mcol_ref, out_ref):
+    """Block-sparse variant of elec_pallas._pair_force_kernel.
+
+    out cols: 0..2 force, 3 potential, 4 e_pair row sum."""
+    p = pl.program_id(0)
+    meta = meta_ref[p]
+    v = ((meta & _VALID) > 0).astype(srow_ref.dtype)
+
+    @pl.when((meta & _FIRST_IN_ROW) > 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    srow = srow_ref[:]
+    scol = scol_ref[:]
+    i0 = ti_ref[p] * TI
+    j0 = tj_ref[p] * TJ
+    t = _pair_chain(srow, scol, i0, j0, n_sites, consts, need_cc1=True)
+    w = t['w'] * v
+
+    qi = srow[:, _Q:_Q + 1]
+    qj = scol[_Q:_Q + 1, :]
+    mxi, myi, mzi = mrow_ref[:, 0:1], mrow_ref[:, 1:2], mrow_ref[:, 2:3]
+    mxj, myj, mzj = mcol_ref[0:1, :], mcol_ref[1:2, :], mcol_ref[2:3, :]
+
+    dx, dy, dz = t['dx'], t['dy'], t['dz']
+    dot_i = mxi * dx + myi * dy + mzi * dz
+    dot_j = mxj * dx + myj * dy + mzj * dz
+    qq = qi * qj
+    gli1 = qj * dot_i - qi * dot_j
+    mumu = mxi * mxj + myi * myj + mzi * mzj
+
+    sm = t['same_mol']
+    s1cc_e = jnp.where(sm, 0.0, t['s_cc1'])
+    s3cd_e = jnp.where(sm, 0.0, t['s_cd3'])
+    s3cc_f = jnp.where(sm, 0.0, t['s_cc3'])
+    s5cd_f = jnp.where(sm, 0.0, t['s_cd5'])
+
+    e_pair = (t['bn0'] - t['rr1c'] * (1.0 - s1cc_e)) * qq \
+        + 0.5 * (t['bn1'] - t['rr3c'] * (1.0 - s3cd_e)) * gli1
+    out_ref[:, 4:5] += 0.5 * jnp.sum(e_pair * w, axis=1, keepdims=True)
+
+    coeff = (t['bn1'] - (1.0 - s3cc_f) * t['rr3c']) * qq \
+        + (t['bn2'] - t['rr5c'] * (1.0 - s5cd_f)) * gli1 \
+        + (t['bn2'] - t['rr5c'] * (1.0 - t['s_dd5'])) * mumu \
+        - (t['bn3'] - t['rr7c'] * (1.0 - t['s_dd7'])) * (dot_i * dot_j)
+    coeff = coeff * w
+    fx = jnp.sum(coeff * dx, axis=1, keepdims=True)
+    fy = jnp.sum(coeff * dy, axis=1, keepdims=True)
+    fz = jnp.sum(coeff * dz, axis=1, keepdims=True)
+
+    w5 = (t['bn2'] - t['rr5c'] * (1.0 - t['s_dd5'])) * w
+    s5dj = jnp.sum(w5 * dot_j, axis=1, keepdims=True)
+    w5di = w5 * dot_i
+    fx = fx + mxi * s5dj + jnp.sum(w5di * mxj, axis=1, keepdims=True)
+    fy = fy + myi * s5dj + jnp.sum(w5di * myj, axis=1, keepdims=True)
+    fz = fz + mzi * s5dj + jnp.sum(w5di * mzj, axis=1, keepdims=True)
+
+    w3 = (t['bn1'] - t['rr3c'] * (1.0 - s3cd_e)) * w
+    w3q = jnp.sum(w3 * qj, axis=1, keepdims=True)
+    fx = fx + qi * jnp.sum(w3 * mxj, axis=1, keepdims=True) - mxi * w3q
+    fy = fy + qi * jnp.sum(w3 * myj, axis=1, keepdims=True) - myi * w3q
+    fz = fz + qi * jnp.sum(w3 * mzj, axis=1, keepdims=True) - mzi * w3q
+
+    out_ref[:, 0:1] += fx
+    out_ref[:, 1:2] += fy
+    out_ref[:, 2:3] += fz
+
+    k1 = (t['bn0'] - t['rr1c'] * (1.0 - s1cc_e)) * w
+    out_ref[:, 3:4] += (jnp.sum(k1 * qj, axis=1, keepdims=True)
+                        - jnp.sum(w3 * dot_j, axis=1, keepdims=True))
+
+
+# ----------------------------------------------------------------------
+# Host-side wrappers
+# ----------------------------------------------------------------------
+
+def _grid_spec(cap, in_specs, out_specs):
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3, grid=(cap,),
+        in_specs=in_specs, out_specs=out_specs)
+
+
+def fixed_field_and_scf_blocks(setup, thole, srow, n_sites, ti, tj, meta,
+                               interpret=False):
+    """K1: (efield [n,3], s3 blocks [P,TI,TJ], s5 blocks [P,TI,TJ])."""
+    np_ = srow.shape[0]
+    cap = ti.shape[0]
+    consts = _consts(setup, thole)
+    kern = functools.partial(_fixed_field_bs_kernel, consts, n_sites)
+    ef, s3, s5 = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((np_, _NS), srow.dtype),
+                   jax.ShapeDtypeStruct((cap, TI, TJ), srow.dtype),
+                   jax.ShapeDtypeStruct((cap, TI, TJ), srow.dtype)],
+        grid_spec=_grid_spec(cap, [
+            pl.BlockSpec((TI, _NS), lambda p, ti, tj, meta: (ti[p], 0)),
+            pl.BlockSpec((_NS, TJ), lambda p, ti, tj, meta: (0, tj[p])),
+        ], [
+            pl.BlockSpec((TI, _NS), lambda p, ti, tj, meta: (ti[p], 0)),
+            pl.BlockSpec((1, TI, TJ), lambda p, ti, tj, meta: (p, 0, 0)),
+            pl.BlockSpec((1, TI, TJ), lambda p, ti, tj, meta: (p, 0, 0)),
+        ]),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=300 * cap * TI * TJ, transcendentals=8 * cap * TI * TJ,
+            bytes_accessed=2 * cap * TI * TJ * 4),
+    )(ti, tj, meta, srow, srow.T)
+    return ef[:n_sites, :3], s3, s5
+
+
+def scf_dipole_field_bs(setup, thole, srow, s3, s5, mu_packed, ti, tj, meta,
+                        n_sites, interpret=False):
+    """K3: dipole field [n,3] from the stored SCF factor blocks.
+
+    mu_packed: [np_, 8] with mu in cols 0..2 (rows >= n_sites zero)."""
+    np_ = srow.shape[0]
+    cap = ti.shape[0]
+    consts = _consts(setup, thole)
+    kern = functools.partial(_scf_field_bs_kernel, consts)
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((np_, _NS), srow.dtype),
+        grid_spec=_grid_spec(cap, [
+            pl.BlockSpec((TI, _NS), lambda p, ti, tj, meta: (ti[p], 0)),
+            pl.BlockSpec((_NS, TJ), lambda p, ti, tj, meta: (0, tj[p])),
+            pl.BlockSpec((_NS, TJ), lambda p, ti, tj, meta: (0, tj[p])),
+            pl.BlockSpec((1, TI, TJ), lambda p, ti, tj, meta: (p, 0, 0)),
+            pl.BlockSpec((1, TI, TJ), lambda p, ti, tj, meta: (p, 0, 0)),
+        ], pl.BlockSpec((TI, _NS), lambda p, ti, tj, meta: (ti[p], 0))),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * cap * TI * TJ * 3 + 10 * cap * TI * TJ,
+            transcendentals=0,
+            bytes_accessed=2 * cap * TI * TJ * 4),
+    )(ti, tj, meta, srow, srow.T, mu_packed.T, s3, s5)
+    return f[:n_sites, :3]
+
+
+def direct_energy_force_pot_bs(setup, thole, srow, mu, n_sites, ti, tj, meta,
+                               interpret=False):
+    """K2: (e_direct scalar, force [n,3], pot [n])."""
+    np_ = srow.shape[0]
+    cap = ti.shape[0]
+    consts = _consts(setup, thole)
+    mrow = jnp.zeros((np_, _NS), srow.dtype).at[:n_sites, :3].set(mu)
+    kern = functools.partial(_pair_force_bs_kernel, consts, n_sites)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((np_, _NS), srow.dtype),
+        grid_spec=_grid_spec(cap, [
+            pl.BlockSpec((TI, _NS), lambda p, ti, tj, meta: (ti[p], 0)),
+            pl.BlockSpec((_NS, TJ), lambda p, ti, tj, meta: (0, tj[p])),
+            pl.BlockSpec((TI, _NS), lambda p, ti, tj, meta: (ti[p], 0)),
+            pl.BlockSpec((_NS, TJ), lambda p, ti, tj, meta: (0, tj[p])),
+        ], pl.BlockSpec((TI, _NS), lambda p, ti, tj, meta: (ti[p], 0))),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=400 * cap * TI * TJ, transcendentals=8 * cap * TI * TJ,
+            bytes_accessed=2 * cap * TI * TJ * 4),
+    )(ti, tj, meta, srow, srow.T, mrow, mrow.T)
+    e = jnp.sum(out[:n_sites, 4])
+    force = out[:n_sites, :3]
+    pot = out[:n_sites, 3]
+    return e, force, pot
+
+
+# ----------------------------------------------------------------------
+# Spatial sort
+# ----------------------------------------------------------------------
+
+def molecule_sort_permutation(o_positions, box, cell=0.9):
+    """Static cell-major molecule permutation (numpy, computed once at
+    setup). Sorting molecules spatially concentrates the active tile pairs;
+    correctness never depends on it - tile AABBs are recomputed per call."""
+    o = np.asarray(o_positions, np.float64)
+    b = np.asarray(box, np.float64)
+    o = o - np.floor(o / b) * b
+    ncell = np.maximum((b / cell).astype(int), 1)
+    ci = np.minimum((o / (b / ncell)).astype(int), ncell - 1)
+    key = (ci[:, 0] * ncell[1] + ci[:, 1]) * ncell[2] + ci[:, 2]
+    return np.argsort(key, kind='stable')

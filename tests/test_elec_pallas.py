@@ -66,3 +66,51 @@ def test_special_function_fits():
     # the physical Thole term is u * Gamma(3/4) * Q
     np.testing.assert_allclose(u * 1.2254167 * q_fit, u * 1.2254167 * q_ref,
                                atol=1e-6)
+
+
+def test_block_sparse_kernels_match_xla_path(water50_pme):
+    """Block-sparse kernels (ops/elec_pallas_bs.py) vs the dense XLA path,
+    interpret mode. water50 pads to one 256-site tile; the multi-tile and
+    sorted-permutation paths are covered by the water256 variant below."""
+    pot, pos_v = water50_pme
+    _run_block_vs_dense(pot, pos_v)
+
+
+def _run_block_vs_dense(pot, pos_v):
+    from mbpol_openmm_plugin_tpu.ops import elec_pallas_bs as bs
+
+    n_sites = pos_v.shape[0]
+    o = np.asarray(pos_v)[np.asarray(pot.system.o_index)]
+    mol_perm = bs.molecule_sort_permutation(o, pot.system.box)
+    site_perm = (4 * mol_perm[:, None] + np.arange(4)[None, :]).reshape(-1)
+    inv = np.empty_like(site_perm)
+    inv[site_perm] = np.arange(n_sites)
+    cap = bs.tile_pair_capacity(n_sites, pot.system.box, pot.pme.cutoff)
+    block = dict(site_perm=site_perm, site_perm_inv=inv,
+                 tile_pair_capacity=cap)
+
+    os.environ['MBPOL_ELEC_PALLAS'] = '0'
+    try:
+        e1, f1, d1 = pme_mod.pme_electrostatics(pot.elec_params, pot.pme, pos_v)
+        os.environ['MBPOL_ELEC_PALLAS'] = 'interpret'
+        e2, f2, d2 = pme_mod.pme_electrostatics(pot.elec_params, pot.pme,
+                                                pos_v, block=block)
+    finally:
+        os.environ.pop('MBPOL_ELEC_PALLAS', None)
+    assert not bool(d2['elec_tile_overflow'])
+    assert int(d2['elec_tile_pairs']) <= cap
+    np.testing.assert_allclose(float(e2), float(e1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=2e-3)
+    assert int(d2['iterations']) == int(d1['iterations'])
+
+
+@pytest.mark.slow
+def test_block_sparse_kernels_multi_tile_water256():
+    """Multi-tile block sparsity (1024 sites = 4 row tiles) with a real
+    spatial sort; some tile pairs must actually be inactive."""
+    box = [19.3996888399961804 / 10.0] * 3
+    sys_, pos = fixtures.load_system('water256_integration_test', box=box)
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.45,
+                                  target_epsilon=1e-5))
+    pos_v = compute_virtual_sites(sys_, make_molecules_whole(sys_, pos))
+    _run_block_vs_dense(pot, pos_v)
