@@ -192,9 +192,13 @@ class StateDataReporter:
 
 
 class LocalEnergyMinimizer:
+    """OpenMM LocalEnergyMinimizer surface: on-device L-BFGS
+    (md/minimize.py). tolerance is the RMS-force target in kJ/mol/nm."""
+
     @staticmethod
-    def minimize(context, tolerance=1.0, maxIterations=200):
-        context._sim._core.minimize_energy(max_iterations=maxIterations)
+    def minimize(context, tolerance=10.0, maxIterations=200):
+        context._sim._core.minimize_energy(max_iterations=maxIterations,
+                                           tolerance=tolerance)
 
 
 class Simulation:
@@ -249,7 +253,9 @@ class Simulation:
                     r.report(self, state)
 
     def minimizeEnergy(self, tolerance=None, maxIterations=200):
-        self._core.minimize_energy(max_iterations=maxIterations)
+        self._core.minimize_energy(
+            max_iterations=maxIterations,
+            tolerance=10.0 if tolerance is None else float(tolerance))
 
     def saveCheckpoint(self, path):
         self._core.save_checkpoint(path)

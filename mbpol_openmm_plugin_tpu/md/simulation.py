@@ -95,16 +95,13 @@ class Simulation:
         # with a barostat the box is dynamic state; otherwise it is static
         box = state.box if cfg.barostat_pressure is not None else None
 
-        def ef(p):
-            e, f, parts, diag = self.potential._energy_forces_impl(
-                p, mu if cfg.scf_warm_start else None, nlists=nlists, box=box)
-            return e, f, diag.get('induced_dipoles')
-
-        mu_out = [mu]
+        aux = [mu, jnp.ones((), bool)]
 
         def ef2(p):
-            e, f, m = ef(p)
-            mu_out[0] = m
+            e, f, parts, diag = self.potential._energy_forces_impl(
+                p, mu if cfg.scf_warm_start else None, nlists=nlists, box=box)
+            aux[0] = diag.get('induced_dipoles')
+            aux[1] = self._health(diag)
             return e, f
 
         if cfg.temperature is not None and cfg.thermostat == 'langevin':
@@ -115,7 +112,7 @@ class Simulation:
             if cfg.temperature is not None and cfg.thermostat == 'andersen':
                 state = I.andersen_thermostat(self.system, state, cfg.dt,
                                               cfg.temperature, cfg.collision_frequency)
-        return state, mu_out[0]
+        return state, aux[0], aux[1]
 
     def _step_chunk_impl(self, state, n_steps):
         cfg = self.config
@@ -131,9 +128,9 @@ class Simulation:
 
             def body(carry, _):
                 s, m = carry
-                s, m = self._one_step(s, m, nlists)
+                s, m, ok = self._one_step(s, m, nlists)
                 ke = I.kinetic_energy(self.system, s.velocities)
-                return (s, m), (s.potential_energy, ke)
+                return (s, m), (s.potential_energy, ke, ok)
 
             (state, mu), out = jax.lax.scan(body, (state, mu), None, length=n)
             return state, mu, out
@@ -160,11 +157,11 @@ class Simulation:
                 e, _, _, _ = self.potential._energy_forces_impl(p, box=box)
                 return e
 
-        pes, kes = [], []
+        pes, kes, oks = [], [], []
         done = 0
         while done < n_steps:
             n = min(group, n_steps - done)
-            state, mu, (pe, ke) = scan_group(state, mu, n)
+            state, mu, (pe, ke, ok) = scan_group(state, mu, n)
             if baro:
                 state, accepted = I.monte_carlo_barostat_move(
                     self.system, energy_at, state, cfg.temperature,
@@ -172,8 +169,10 @@ class Simulation:
                     scale_state=0.01 * state.box[0] * state.box[1] * state.box[2])
             pes.append(pe)
             kes.append(ke)
+            oks.append(ok)
             done += n
-        return state, jnp.concatenate(pes), jnp.concatenate(kes)
+        return (state, jnp.concatenate(pes), jnp.concatenate(kes),
+                jnp.concatenate(oks))
 
     def step(self, n_steps, report_interval=None, check_health=True):
         """Advance n_steps. Returns a dict of per-report-interval metrics
@@ -187,16 +186,19 @@ class Simulation:
         remaining = n_steps
         while remaining > 0:
             chunk = min(report_interval, remaining)
-            self.state, pe, ke = self._step_chunk(self.state, chunk)
-            if check_health:
+            self.state, pe, ke, ok = self._step_chunk(self.state, chunk)
+            if check_health and not bool(jnp.all(ok)):
+                # per-step flags come out of the scan itself (no extra
+                # evaluation on the happy path); only on failure do we pay
+                # one diagnostic re-evaluation for the error details
                 _, _, _, diag = self.potential._energy_forces(self.state.positions)
-                if not bool(self._health(diag)):
-                    raise RuntimeError(
-                        'simulation health check failed: %s' %
-                        {k: diag[k] for k in ('converged', 'iterations', 'epsilon',
-                                              'pair_overflow', 'triplet_overflow',
-                                              'pair_eval_overflow', 'triplet_eval_overflow')
-                         if k in diag})
+                raise RuntimeError(
+                    'simulation health check failed at step %d: %s' %
+                    (int(np.argmin(np.asarray(ok))) + int(self.state.step) - chunk,
+                     {k: diag[k] for k in ('converged', 'iterations', 'epsilon',
+                                           'pair_overflow', 'triplet_overflow',
+                                           'pair_eval_overflow', 'triplet_eval_overflow')
+                      if k in diag}))
             pes.append(float(pe[-1]))
             kes.append(float(ke[-1]))
             steps.append(int(self.state.step))
@@ -209,31 +211,50 @@ class Simulation:
                     temperature=2.0 * kes / (ndof * units.BOLTZMANN_KJ_MOL_K))
 
     # ------------------------------------------------------------------
-    def minimize_energy(self, max_iterations=200, lr=None):
-        """Simple FIRE-like gradient descent minimization (the reference uses
-        OpenMM's L-BFGS; for MD equilibration purposes steepest descent with
-        backtracking is sufficient and stays on device)."""
+    def minimize_energy(self, max_iterations=200, tolerance=10.0,
+                        method='lbfgs'):
+        """Local energy minimization (OpenMM LocalEnergyMinimizer parity:
+        L-BFGS, tolerance = RMS force in kJ/mol/nm). The whole minimization
+        is one on-device while_loop (md/minimize.py); method='descent' keeps
+        the previous backtracking steepest descent."""
         pos = self.state.positions if self.state is not None else None
         assert pos is not None, 'call set_positions first'
 
-        def cond(c):
-            pos, step_size, it, e = c
-            return (it < max_iterations) & (step_size > 1e-10)
+        if method == 'lbfgs':
+            from mbpol_openmm_plugin_tpu.md.minimize import lbfgs_minimize
 
-        def body(c):
-            pos, step_size, it, e = c
-            e0, f = self._energy_forces(pos)
-            fnorm = jnp.max(jnp.abs(f)) + 1e-30
-            trial = pos + step_size / fnorm * f
-            e1, _ = self._energy_forces(trial)
-            better = e1 < e0
-            pos = jnp.where(better, trial, pos)
-            step_size = jnp.where(better, step_size * 1.2, step_size * 0.5)
-            return (pos, step_size, it + 1, jnp.where(better, e1, e0))
+            def eg(p):
+                e, f = self._energy_forces(p)
+                return e, -f
 
-        init = (pos, jnp.asarray(0.01, pos.dtype), jnp.zeros((), jnp.int32),
-                jnp.asarray(np.inf, pos.dtype))
-        pos, _, _, _ = jax.lax.while_loop(cond, body, init)
+            cache = getattr(self, '_minimize_jit', {})
+            key = (max_iterations, float(tolerance))
+            if key not in cache:
+                cache[key] = jax.jit(
+                    lambda p: lbfgs_minimize(eg, p,
+                                             max_iterations=max_iterations,
+                                             tolerance=tolerance))
+                self._minimize_jit = cache
+            pos, _, _ = cache[key](pos)
+        else:
+            def cond(c):
+                pos, step_size, it, e = c
+                return (it < max_iterations) & (step_size > 1e-10)
+
+            def body(c):
+                pos, step_size, it, e = c
+                e0, f = self._energy_forces(pos)
+                fnorm = jnp.max(jnp.abs(f)) + 1e-30
+                trial = pos + step_size / fnorm * f
+                e1, _ = self._energy_forces(trial)
+                better = e1 < e0
+                pos = jnp.where(better, trial, pos)
+                step_size = jnp.where(better, step_size * 1.2, step_size * 0.5)
+                return (pos, step_size, it + 1, jnp.where(better, e1, e0))
+
+            init = (pos, jnp.asarray(0.01, pos.dtype), jnp.zeros((), jnp.int32),
+                    jnp.asarray(np.inf, pos.dtype))
+            pos, _, _, _ = jax.lax.while_loop(cond, body, init)
         e, f, _, _ = self.potential.energy_forces(pos)
         self.state = dataclasses.replace(self.state, positions=pos, forces=f,
                                          potential_energy=e)
