@@ -2,6 +2,7 @@
 (TestReferenceMBPolOneBodyForce.cpp etc.) through the mbpolplugin-style
 surface."""
 import numpy as np
+import pytest
 
 from mbpol_openmm_plugin_tpu import api
 from test_one_body import GOLDEN_ENERGY_KCAL as E1B, WATER1_POS
@@ -65,3 +66,44 @@ def test_system_moments_and_grid_potential():
     grid = np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
     pot = f.getElectrostaticPotential(grid, WATER3_POS9)
     assert pot.shape == (2,) and np.all(np.isfinite(pot))
+
+
+def test_with_updated_params_midrun():
+    """updateParametersInContext parity (MBPolElectrostaticsForce.h:281):
+    mutate Thole parameters and charges on a live potential; shapes and
+    capacities carry over, physics responds, and restoring the original
+    values reproduces the original energy exactly."""
+    import dataclasses
+
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    sys_, pos = fixtures.load_system('water3')
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff'))
+    e0, f0, parts0, _ = pot.energy_forces(pos)
+
+    # Thole change: electrostatics shifts, smooth terms untouched
+    th = np.asarray(pot.elec_params.thole, float).copy()
+    th[2] *= 2.0
+    pot2 = pot.with_updated_params(thole=th)
+    e2, f2, parts2, _ = pot2.energy_forces(pos)
+    assert abs(float(parts2['electrostatics']) - float(parts0['electrostatics'])) > 1e-3
+    np.testing.assert_allclose(float(parts2['two_body']), float(parts0['two_body']),
+                               rtol=1e-12)
+
+    # charge scaling with redistribution disabled: electrostatics responds
+    pot3 = pot.with_updated_params(include_charge_redistribution=False)
+    e3, _, parts3, _ = pot3.energy_forces(pos)
+    q = np.asarray(pot3.elec_params.charges, float) * 0.5
+    pot4 = pot3.with_updated_params(charges=q)
+    e4, _, parts4, _ = pot4.energy_forces(pos)
+    assert abs(float(parts4['electrostatics'])) < abs(float(parts3['electrostatics']))
+
+    # particle-count mismatch raises (MBPolReferenceKernels.cpp:117-118)
+    with pytest.raises(ValueError, match='particle count'):
+        pot.with_updated_params(charges=np.zeros(5))
+
+    # round trip back to the original parameters reproduces e0
+    pot5 = pot2.with_updated_params(thole=np.asarray(pot.elec_params.thole, float))
+    e5, _, _, _ = pot5.energy_forces(pos)
+    np.testing.assert_allclose(float(e5), float(e0), rtol=1e-12)
