@@ -31,12 +31,14 @@ N_WATERS = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 MODES = (sys.argv[2].split(',') if len(sys.argv) > 2
          else (['block', 'dense'] if N_WATERS <= 2048 else ['block']))
 
-reps = {2048: (2, 2, 2), 4096: (2, 2, 4), 8192: (2, 4, 4)}[N_WATERS]
+reps = {2048: (2, 2, 2), 4096: (2, 2, 4), 6912: (3, 3, 3),
+        8192: (2, 4, 4)}[N_WATERS]
 fix = fixtures.load('water256_integration_test')
 b = 19.3996888399961804 / 10.0
 pos_np = np.concatenate([fix['positions'] + np.array([i * b, j * b, k * b])
                          for i in range(reps[0]) for j in range(reps[1])
                          for k in range(reps[2])])
+assert len(pos_np) == 4 * N_WATERS
 box = [reps[0] * b, reps[1] * b, reps[2] * b]
 sys_ = System.waters(N_WATERS, box=box)
 pos = compute_virtual_sites(sys_, jnp.asarray(pos_np, jnp.float32))

@@ -358,14 +358,25 @@ def direct_energy_force_pot_bs(setup, thole, srow, mu, n_sites, ti, tj, meta,
 # Spatial sort
 # ----------------------------------------------------------------------
 
-def molecule_sort_permutation(o_positions, box, cell=0.9):
-    """Static cell-major molecule permutation (numpy, computed once at
-    setup). Sorting molecules spatially concentrates the active tile pairs;
-    correctness never depends on it - tile AABBs are recomputed per call."""
+def molecule_sort_permutation(o_positions, box, mols_per_tile=TI // 4):
+    """Static serpentine cell-major molecule permutation (numpy, computed
+    once at setup). Cells are sized to hold ~one tile's worth of molecules
+    and walked boustrophedon (direction alternates per row/plane), so a
+    tile that straddles a cell boundary spans two ADJACENT cells instead of
+    wrapping across the box - keeping tile AABBs compact is what creates
+    inactive tile pairs. Correctness never depends on the sort; tile AABBs
+    are recomputed per call."""
     o = np.asarray(o_positions, np.float64)
     b = np.asarray(box, np.float64)
     o = o - np.floor(o / b) * b
-    ncell = np.maximum((b / cell).astype(int), 1)
+    n = len(o)
+    density = n / float(np.prod(b))
+    cell = (mols_per_tile / density) ** (1.0 / 3.0)
+    ncell = np.maximum(np.round(b / cell).astype(int), 1)
     ci = np.minimum((o / (b / ncell)).astype(int), ncell - 1)
-    key = (ci[:, 0] * ncell[1] + ci[:, 1]) * ncell[2] + ci[:, 2]
+    cx, cy, cz = ci[:, 0], ci[:, 1], ci[:, 2]
+    # serpentine: flip y within odd x-planes, flip z within odd y-rows
+    cy_s = np.where(cx % 2 == 1, ncell[1] - 1 - cy, cy)
+    cz_s = np.where(cy_s % 2 == 1, ncell[2] - 1 - cz, cz)
+    key = (cx * ncell[1] + cy_s) * ncell[2] + cz_s
     return np.argsort(key, kind='stable')

@@ -71,3 +71,28 @@ def test_pme_force_consistency_finite_difference():
         # tolerance allows for the hard 0.9 nm truncation of the direct-space
         # sum (discontinuous in the reference as well) and residual SCF noise
         np.testing.assert_allclose(float(forces[i, d]), fd, rtol=1e-3, atol=5e-3)
+
+
+def test_diis_scf_matches_sor_on_bulk_pme():
+    """DIIS (the advertised SCF accelerator, cf. the CUDA platform's DIIS in
+    multipoleInducedField.cu:374-482) must reach the same fixed point as the
+    reference-semantics SOR on a bulk PME system - previously validated only
+    on water3 clusters."""
+    import fixtures
+    sys_, pos = fixtures.load_system('water50', box=[1.8, 1.8, 1.8])
+    res = {}
+    for method in ('sor', 'diis'):
+        pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
+                                      target_epsilon=1e-8, max_iterations=200,
+                                      scf_method=method))
+        e, f, parts, diag = pot.energy_forces(pos)
+        assert bool(diag['converged']), method
+        res[method] = (float(e), np.asarray(f), int(diag['iterations']))
+    e_sor, f_sor, it_sor = res['sor']
+    e_diis, f_diis, it_diis = res['diis']
+    # residual difference is bounded by the SCF target epsilon (both
+    # methods stop at eps < 1e-8, not at the exact fixed point)
+    np.testing.assert_allclose(e_diis, e_sor, rtol=1e-7)
+    np.testing.assert_allclose(f_diis, f_sor, atol=1e-4)
+    # the accelerator must not be slower than SOR in iteration count
+    assert it_diis <= it_sor, (it_diis, it_sor)
