@@ -89,6 +89,20 @@ def main():
     check('water256 PME total', e, -2270.88890, 20.0)
     print('water256 cold eval wall: %.1f s (incl. compile)' % dt, flush=True)
 
+    # block-sparse Pallas electrostatics (ops/elec_pallas_bs.py) on real
+    # hardware: same golden, forced block mode + spatial sort
+    sys_, pos = fixtures.load_system('water256_integration_test', [box] * 3)
+    pot_b = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
+                                    target_epsilon=1e-4, nlist_skin=0.02,
+                                    max_iterations=200,
+                                    electrostatics_mode='block'))
+    pot_b.tune_capacities(jnp.asarray(pos, jnp.float32))
+    e_b, f_b, parts_b, diag_b = pot_b.energy_forces(jnp.asarray(pos, jnp.float32))
+    jax.block_until_ready(f_b)
+    assert not bool(diag_b['elec_tile_overflow'])
+    check('water256 PME total (block-sparse)',
+          float(e_b) * units.KJ_PER_MOL_TO_KCAL_PER_MOL, -2270.88890, 20.0)
+
     if failures:
         print('\nFAILED:', failures)
         return 1
