@@ -185,10 +185,14 @@ def _water_charges_one(o, h1, h2, dtype):
     x2 = (d2 - k['reoh']) / k['reoh']
     x3 = costh - k['costhe']
 
-    pows = jnp.arange(15, dtype=dtype)
-    v1 = x1 ** pows
-    v2 = x2 ** pows
-    v3 = x3 ** pows
+    # powers by iterated multiplication, NOT x ** arange(15): the power-rule
+    # gradient of the constant column is 0 * x**(-1) = NaN exactly at x == 0,
+    # and x1/x2 cross zero every OH vibration (see models/one_body._vander;
+    # here the NaN would enter through the dq/dr jacfwd).
+    from mbpol_openmm_plugin_tpu.models.one_body import _vander
+    v1 = _vander(x1, dtype, n=15)
+    v2 = _vander(x2, dtype, n=15)
+    v3 = _vander(x3, dtype, n=15)
 
     i0, i1, i2 = d['idxD0'][1:] - 1, d['idxD1'][1:] - 1, d['idxD2'][1:] - 1
     coef = jnp.asarray(d['coefD'][1:], dtype)

@@ -60,6 +60,15 @@ def _tables(dtype=np.float64):
     return t
 
 
+def _vander(x, dtype, n=_MAX_POW):
+    """[batch, n] powers x^0..x^(n-1) by iterated multiplication (gradient
+    well-defined at x == 0, unlike x ** arange(n); see use below)."""
+    cols = [jnp.ones_like(x)]
+    for _ in range(n - 1):
+        cols.append(cols[-1] * x)
+    return jnp.stack(cols, axis=-1).astype(dtype)
+
+
 def one_body_energy(pos_ohh):
     """Monomer distortion energy.
 
@@ -92,11 +101,16 @@ def one_body_energy(pos_ohh):
     x2 = (d2 - t['reoh']) / t['reoh']
     x3 = costh - _COSTHE
 
-    # vander powers [nmol, 15]: column p holds x^p
-    pows = jnp.arange(_MAX_POW, dtype=dtype)
-    v1 = x1[:, None] ** pows
-    v2 = x2[:, None] ** pows
-    v3 = x3[:, None] ** pows
+    # vander powers [nmol, 15]: column p holds x^p, built by iterated
+    # multiplication. NOT x ** jnp.arange(15): the power-rule gradient of
+    # the p=0 column is 0 * x**(-1), which is 0*inf = NaN exactly at x == 0
+    # - and x1/x2 cross zero every OH vibration period, so a thermalized
+    # f32 trajectory hits the exact zero about once per 1e3 MD steps
+    # (observed: finite energy, NaN forces, trajectory death one step
+    # later). Products have well-defined gradients everywhere.
+    v1 = _vander(x1, dtype)
+    v2 = _vander(x2, dtype)
+    v3 = _vander(x3, dtype)
 
     A1 = jnp.asarray(t['A1'], dtype)
     A2 = jnp.asarray(t['A2'], dtype)

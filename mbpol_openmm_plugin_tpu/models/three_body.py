@@ -72,6 +72,20 @@ def three_body_energy_triplets(pos_a, pos_b, pos_c, valid):
     rbc = _safe_norm(ob - oc)
     active = valid & (rab > _RMIN) & (rac > _RMIN) & (rbc > _RMIN)
 
+    # Sanitize inactive entries (padding repeats molecule 0; the reference's
+    # r < 2 A early exit): substitute a well-separated geometry BEFORE the
+    # exponential variables. The value is masked to 0 below either way, but
+    # without the substitution coincident monomers drive exp variables to
+    # ~1e8 and the polynomial's f32 intermediates to the overflow boundary -
+    # a single inf there turns the masked backward pass into 0*inf = NaN
+    # forces (observed once per ~1e3 MD steps at water256; energy stays
+    # finite, the trajectory NaNs one step later).
+    safe = ~active[:, None, None]
+    pos_b = jnp.where(safe, pos_a + jnp.asarray([4.0, 0.0, 0.0], dtype), pos_b)
+    pos_c = jnp.where(safe, pos_a + jnp.asarray([0.0, 4.0, 0.0], dtype), pos_c)
+    ob, hb1, hb2 = pos_b[:, 0], pos_b[:, 1], pos_b[:, 2]
+    oc, hc1, hc2 = pos_c[:, 0], pos_c[:, 1], pos_c[:, 2]
+
     def var(k, d0, p1, p2):
         return jnp.exp(-k * (_safe_norm(p1 - p2) - d0))
 

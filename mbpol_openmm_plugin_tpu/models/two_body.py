@@ -96,6 +96,18 @@ def two_body_energy_pairs(pos_a, pos_b, valid):
     roo = _safe_norm(oa - ob)
     active = valid & (roo < c['r2f']) & (roo > _RMIN)
 
+    # Sanitize inactive entries (padding repeats molecule 0; the reference's
+    # r < 2 A early exit): substitute a well-separated geometry BEFORE the
+    # exponential variables. The value is masked to 0 below either way, but
+    # without the substitution coincident monomers drive the coulomb-type
+    # variables to ~1e8 and the polynomial's f32 intermediates to the
+    # overflow boundary - a single inf there turns the masked backward pass
+    # into 0*inf = NaN forces (rare, trajectory-killing; see
+    # three_body_energy_triplets for the same guard).
+    pos_b = jnp.where((~active)[:, None, None],
+                      pos_a + jnp.asarray([5.0, 0.0, 0.0], dtype), pos_b)
+    ob, hb1, hb2 = pos_b[:, 0], pos_b[:, 1], pos_b[:, 2]
+
     xa1, xa2 = monomer_extra_points(oa, ha1, ha2, c['in_plane_gamma'], c['out_of_plane_gamma'])
     xb1, xb2 = monomer_extra_points(ob, hb1, hb2, c['in_plane_gamma'], c['out_of_plane_gamma'])
 
