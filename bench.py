@@ -52,7 +52,12 @@ _ASPC_B = {
     2: [2.8, -2.8, 1.2, -0.2],
     3: [3.0, -24.0 / 7.0, 27.0 / 14.0, -4.0 / 7.0, 1.0 / 14.0],
 }
-ASPC_K = int(os.environ.get('BENCH_ASPC_K', -1))
+# 'sor': iterate the SCF to target_epsilon each step (reference semantics,
+#        predictor only warm-starts the loop; safe only with k = -1).
+# 'aspc': true ASPC - predictor + exactly one damped corrector
+#        (scf_method='aspc' in the potential; models/electrostatics.py).
+SCF_MODE = os.environ.get('BENCH_SCF', 'sor')
+ASPC_K = int(os.environ.get('BENCH_ASPC_K', 3 if SCF_MODE == 'aspc' else -1))
 
 
 def build(dtype_bits=32):
@@ -92,6 +97,8 @@ def build(dtype_bits=32):
     pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
                                   target_epsilon=1e-3 if dtype_bits == 32 else 1e-7,
                                   max_iterations=200,
+                                  scf_method='aspc' if SCF_MODE == 'aspc' else 'sor',
+                                  aspc_k=max(ASPC_K, 0),
                                   nlist_skin=0.02))
     pot.tune_capacities(pos)
 
@@ -139,7 +146,8 @@ def build(dtype_bits=32):
             ke = 0.5 * jnp.sum(jnp.asarray(sys_.masses, dtype)[:, None] * v * v)
             st = dataclasses.replace(st, positions=p, velocities=v, forces=f,
                                      potential_energy=e, step=st.step + 1)
-            return (st, mu_hist, nlists, p_build, ovf), (e, ke, diag['iterations'])
+            return (st, mu_hist, nlists, p_build, ovf), \
+                (e, ke, diag['iterations'], diag['converged'])
         return jax.lax.scan(body, carry, None, length=n)
 
     e0, f0, parts0, diag0 = pot.energy_forces(pos)   # jitted cold-start eval
@@ -164,8 +172,8 @@ def build(dtype_bits=32):
 def _timed(step_fn, carry, n):
     t0 = time.time()
     carry, outs, ovf = step_fn(carry, n)
-    pes, kes, iters = [np.asarray(o) for o in outs]   # host transfer = sync
-    return carry, (pes, kes, iters, bool(ovf)), time.time() - t0
+    pes, kes, iters, conv = [np.asarray(o) for o in outs]   # transfer = sync
+    return carry, (pes, kes, iters, conv, bool(ovf)), time.time() - t0
 
 
 def main():
@@ -175,16 +183,32 @@ def main():
     # warmup/compile with the SAME static step count as the measured call
     carry, _, _ = _timed(step_fn, carry, N_STEPS)
 
-    carry, (pes, kes, iters, ovf1), elapsed = _timed(step_fn, carry, N_STEPS)
+    carry, (pes, kes, iters, conv1, ovf1), elapsed = _timed(step_fn, carry,
+                                                            N_STEPS)
     steps_per_s = N_STEPS / elapsed
     ns_per_day = steps_per_s * DT_FS * 1e-6 * 86400.0
 
-    # thermalize, then measure the steady-state operating point
-    if STEADY_THERM:
-        carry, _, _ = _timed(step_fn, carry, STEADY_THERM)   # compiles once
-    carry, (spes, skes, siters, ovf2), s_elapsed = _timed(step_fn, carry,
-                                                          STEADY_STEPS)
-    steady_steps_per_s = STEADY_STEPS / s_elapsed
+    # Thermalize, then measure the steady-state operating point. Chunks of
+    # N_STEPS (the realistic reporting cadence; one compiled program for the
+    # whole bench) accumulated to the configured totals.
+    for _ in range(STEADY_THERM // N_STEPS):
+        carry, _, _ = _timed(step_fn, carry, N_STEPS)
+    spes, skes, siters, sconv = [], [], [], []
+    ovf2 = False
+    s_elapsed = 0.0
+    for _ in range(max(STEADY_STEPS // N_STEPS, 1)):
+        carry, (p_, k_, i_, c_, o_), dt_ = _timed(step_fn, carry, N_STEPS)
+        spes.append(p_)
+        skes.append(k_)
+        siters.append(i_)
+        sconv.append(c_)
+        ovf2 = ovf2 or o_
+        s_elapsed += dt_
+    spes = np.concatenate(spes)
+    skes = np.concatenate(skes)
+    siters = np.concatenate(siters)
+    sconv = np.concatenate(sconv)
+    steady_steps_per_s = len(spes) / s_elapsed
     etot = spes + skes
     drift = float(etot[-1] - etot[0])
 
@@ -208,9 +232,11 @@ def main():
                    steady_state_steps_per_second=round(steady_steps_per_s, 3),
                    steady_state_ns_per_day=round(
                        steady_steps_per_s * DT_FS * 1e-6 * 86400.0, 4),
-                   steady_state_n_steps=STEADY_STEPS,
+                   steady_state_n_steps=len(spes),
                    steady_state_mean_scf_iters=round(float(siters.mean()), 2),
+                   steady_state_scf_converged_frac=round(float(sconv.mean()), 4),
                    steady_state_etot_drift_kJmol=round(drift, 3),
+                   scf_mode=SCF_MODE,
                    aspc_k=ASPC_K,
                    neighbor_overflow=bool(ovf1 or ovf2),
                    device=str(jax.devices()[0])))))

@@ -33,6 +33,7 @@ Notes on the TPU design:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -62,7 +63,11 @@ class ElecParams:
     include_charge_redistribution: bool = True
     target_epsilon: float = 1e-7   # Force API default (MBPolElectrostaticsForce.cpp:44)
     max_iterations: int = 200
-    scf_method: str = 'sor'        # 'sor' (reference semantics) | 'diis' (accelerated)
+    # 'sor' (reference semantics) | 'diis' (accelerated convergence) |
+    # 'aspc' (Kolafa always-stable predictor-corrector: one damped
+    # iteration per step from a history predictor; MD trajectories only)
+    scf_method: str = 'sor'
+    aspc_k: int = 3                # ASPC predictor order (scf_method='aspc')
     # water site indices for charge redistribution (None for 3-site systems)
     o_index: Optional[np.ndarray] = None
     h1_index: Optional[np.ndarray] = None
@@ -427,6 +432,64 @@ def scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta, target_epsilon,
     return mu, dict(iterations=iters, epsilon=eps, converged=converged)
 
 
+def aspc_omega(k):
+    """Kolafa ASPC relaxation weight omega = (k+2)/(2k+3) for predictor
+    order k (J. Comput. Chem. 25, 335 (2004), eq. 18)."""
+    return (k + 2.0) / (2.0 * k + 3.0)
+
+
+def scf_induced_dipoles_aspc(efield_alpha, alpha, s3, s5, delta, target_epsilon,
+                             max_iterations, extra_field=None, mu0=None,
+                             dipole_field=None, omega=5.0 / 9.0):
+    """Always-stable predictor-corrector (Kolafa ASPC) dipole closure.
+
+    Exactly ONE damped SCF iteration applied to the caller-supplied predictor
+    mu0 (a B_j-weighted extrapolation of the previous corrected dipoles):
+    mu_{t+1} = mu0 + omega * (scf_map(mu0) - mu0), optimal omega =
+    (k+2)/(2k+3). Stability comes from approximate time reversibility of the
+    predictor/corrector pair, NOT from iterating to self-consistency - a
+    plain extrapolated warm start fed into the convergence loop is unstable
+    (measured; see bench.py) while this closure is drift-free in NVE.
+
+    Without a predictor (mu0=None, e.g. the cold-start evaluation or any
+    one-shot energy call) ASPC is undefined along-trajectory semantics, so
+    fall back to the fully converged SOR loop.
+
+    Role analog: the CUDA platform's DIIS (multipoleInducedField.cu:374-482)
+    - cutting per-step SCF cost; semantics beyond the reference, which
+    always iterates to target_epsilon (cpp:557-616).
+    """
+    if mu0 is None:
+        return scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta,
+                                   target_epsilon, max_iterations,
+                                   extra_field=extra_field,
+                                   dipole_field=dipole_field)
+    n = efield_alpha.shape[0]
+    field = (_dipole_field(mu0, s3, s5, delta) if dipole_field is None
+             else dipole_field(mu0))
+    if extra_field is not None:
+        field = field + extra_field(mu0)
+    dmu = efield_alpha + field * alpha[:, None] - mu0
+    mu = mu0 + omega * dmu
+    # epsilon in the reference's units (observability only - no convergence
+    # decision is made in ASPC mode)
+    eps = _POLAR_SOR * units.DEBYE * jnp.sqrt(jnp.sum(dmu * dmu) / n)
+    return mu, dict(iterations=jnp.ones((), jnp.int32), epsilon=eps,
+                    converged=jnp.ones((), bool))
+
+
+def make_scf(params):
+    """SCF solver for params.scf_method ('sor' | 'diis' | 'aspc')."""
+    if params.scf_method == 'diis':
+        return scf_induced_dipoles_diis
+    if params.scf_method == 'aspc':
+        return functools.partial(scf_induced_dipoles_aspc,
+                                 omega=aspc_omega(params.aspc_k))
+    if params.scf_method != 'sor':
+        raise ValueError(f'unknown scf_method {params.scf_method!r}')
+    return scf_induced_dipoles
+
+
 # ----------------------------------------------------------------------
 # Cluster (NoCutoff) energy and forces
 # ----------------------------------------------------------------------
@@ -463,8 +526,7 @@ def cluster_electrostatics(params: ElecParams, positions, mesh=None, mu0=None):
     # SCF (TDD damping, no exclusions, cpp:534-555)
     s3 = jnp.where(notself, -rr3 * s_dd[3], 0.0)
     s5 = jnp.where(notself, rr5 * s_dd[5], 0.0)
-    scf = (scf_induced_dipoles_diis if params.scf_method == 'diis'
-           else scf_induced_dipoles)
+    scf = make_scf(params)
     mu, diag = scf(
         efield * alpha[:, None], alpha, s3, s5, delta,
         params.target_epsilon, params.max_iterations, mu0=mu0)

@@ -401,8 +401,7 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
                                          ti, tj, meta, n, interpret=interpret)
             return f_s[inv]
 
-    scf = (elec.scf_induced_dipoles_diis if params.scf_method == 'diis'
-           else elec.scf_induced_dipoles)
+    scf = elec.make_scf(params)
     mu, diag = scf(
         efield * alpha_pol[:, None], alpha_pol, s3_dir, s5_dir, delta,
         params.target_epsilon, params.max_iterations, extra_field=extra_field,

@@ -219,10 +219,22 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
         return (mu2, eps, it + 1, done, converged)
 
     mu_init = efield_alpha if mu0 is None else mu0.reshape(nmol, 4, 3)
-    mu4, eps, iters, _, converged = jax.lax.while_loop(
-        cond, body, (mu_init, big, jnp.zeros((), jnp.int32),
-                     jnp.zeros((), bool), jnp.zeros((), bool)))
-    diag = dict(iterations=iters, epsilon=eps, converged=converged)
+    if params.scf_method == 'aspc' and mu0 is not None:
+        # Kolafa ASPC closure: one damped corrector on the caller's history
+        # predictor (see elec.scf_induced_dipoles_aspc). Cold starts
+        # (mu0=None) take the converged loop below.
+        omega = elec.aspc_omega(params.aspc_k)
+        new = efield_alpha + dipole_field(mu_init) * alpha_pol4[:, :, None]
+        dmu = new - mu_init
+        mu4 = mu_init + omega * dmu
+        eps = elec._POLAR_SOR * units.DEBYE * jnp.sqrt(jnp.sum(dmu * dmu) / n_sites)
+        diag = dict(iterations=jnp.ones((), jnp.int32), epsilon=eps,
+                    converged=jnp.ones((), bool))
+    else:
+        mu4, eps, iters, _, converged = jax.lax.while_loop(
+            cond, body, (mu_init, big, jnp.zeros((), jnp.int32),
+                         jnp.zeros((), bool), jnp.zeros((), bool)))
+        diag = dict(iterations=iters, epsilon=eps, converged=converged)
 
     # ---- direct-space energy / forces / potential ----
     mua = mu4[ia]

@@ -69,7 +69,12 @@ class MBPolConfig:
     pme_grid: Optional[tuple] = None         # derived from tolerance if None
     target_epsilon: float = 1e-7
     max_iterations: int = 200
-    scf_method: str = 'sor'          # 'sor' (reference semantics) | 'diis'
+    # 'sor' (reference semantics) | 'diis' (accelerated convergence) |
+    # 'aspc' (Kolafa always-stable predictor-corrector: one damped SCF
+    # iteration per MD step from a dipole-history predictor; cold starts
+    # and one-shot evaluations still converge fully)
+    scf_method: str = 'sor'
+    aspc_k: int = 3                  # ASPC predictor order (scf_method='aspc')
     thole: Optional[tuple] = None    # override [TCC,TCD,TDD,TDDOH,TDDHH]; default XML values
     # 'dense' ([N,N] tensors, exact at any cutoff), 'sparse' (molecule-pair
     # list direct space, O(N) memory - production boxes), 'block'
@@ -106,7 +111,8 @@ class MBPol:
                 include_charge_redistribution=config.include_charge_redistribution,
                 target_epsilon=config.target_epsilon,
                 max_iterations=config.max_iterations,
-                scf_method=config.scf_method)
+                scf_method=config.scf_method,
+                aspc_k=config.aspc_k)
             if config.thole is not None:
                 self.elec_params = dataclasses.replace(
                     self.elec_params, thole=np.asarray(config.thole))
