@@ -470,7 +470,15 @@ def scf_induced_dipoles_aspc(efield_alpha, alpha, s3, s5, delta, target_epsilon,
     if extra_field is not None:
         field = field + extra_field(mu0)
     dmu = efield_alpha + field * alpha[:, None] - mu0
-    mu = mu0 + omega * dmu
+    # The corrector must be THIS MODEL'S convergent self-consistency
+    # iteration - the SOR-damped step (polarSOR * dmu), not the bare Picard
+    # map mu -> alpha*E(mu): the Thole-damped water polarization map has
+    # spectral radius > 1 (measured 1.12 on thermalized water256; that is
+    # precisely why the reference iterates with SOR 0.55,
+    # MBPolReferenceElectrostaticsForce.cpp:516-531). A Picard corrector
+    # makes the ASPC companion matrix unstable - forces grow ~1.5x/step
+    # and the trajectory NaNs within ~60 steps (measured).
+    mu = mu0 + omega * _POLAR_SOR * dmu
     # epsilon in the reference's units (observability only - no convergence
     # decision is made in ASPC mode)
     eps = _POLAR_SOR * units.DEBYE * jnp.sqrt(jnp.sum(dmu * dmu) / n)

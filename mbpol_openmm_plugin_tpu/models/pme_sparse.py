@@ -226,7 +226,9 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
         omega = elec.aspc_omega(params.aspc_k)
         new = efield_alpha + dipole_field(mu_init) * alpha_pol4[:, :, None]
         dmu = new - mu_init
-        mu4 = mu_init + omega * dmu
+        # SOR-damped corrector step - see elec.scf_induced_dipoles_aspc for
+        # why the bare Picard corrector is unstable here
+        mu4 = mu_init + omega * elec._POLAR_SOR * dmu
         eps = elec._POLAR_SOR * units.DEBYE * jnp.sqrt(jnp.sum(dmu * dmu) / n_sites)
         diag = dict(iterations=jnp.ones((), jnp.int32), epsilon=eps,
                     converged=jnp.ones((), bool))
