@@ -21,8 +21,20 @@ after ~1 ps of dynamics:
     the loosely-converged SOR loop drifts (measured: -114 kJ/mol per 1000
     steps SOR at 1e-3 vs bounded +-12 kJ/mol over 4000 steps ASPC).
 
+Timed chunks run a HOT scan whose only per-step output is the potential
+energy: emitting per-step SCF diagnostics (iteration counts, convergence
+flags, kinetic energy) from inside the scan was measured to cost 0.25-0.8
+ms/step on the tunneled TPU (252 -> 184 steps/s; an XLA scheduling effect,
+not FLOPs). Health diagnostics come instead from (a) the per-step energy
+trace (NaN detection, PE drift), (b) kinetic energy evaluated host-side at
+segment boundaries (total-energy drift), (c) a separate INSTRUMENTED chunk
+- same physics, diagnostic outputs - run OUTSIDE the timed regions to
+sample SCF iterations/convergence and rebuild-overflow flags, and (d) a
+neighbor-list capacity check on the final positions of each timed segment.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
+import functools
 import json
 import os
 import sys
@@ -42,11 +54,11 @@ DT_FS = 0.2
 # dipoles degenerates to the plain warm start for the first steps.
 # k = -1 is the plain previous-step warm start (predictor = mu_t).
 # MEASURED (r2, water256 TPU): feeding an extrapolated predictor into the
-# convergence loop with the loose 1e-3 target is UNSTABLE for every k >= 0
-# (NaN within ~1000 steps; same failure mode as the documented naive
+# SOR convergence loop with the loose 1e-3 target is UNSTABLE for every
+# k >= 0 (NaN within ~1000 steps; same failure mode as the documented naive
 # 2*mu1-mu2 attempt) - extrapolation is only safe as true ASPC (predictor
-# + exactly one damped corrector, BENCH_SCF=aspc), where time-reversibility
-# bounds the energy drift (Kolafa, J. Comput. Chem. 25, 335 (2004)).
+# + exactly one SOR-damped corrector, scf_method='aspc'), where approximate
+# time reversibility bounds the energy drift.
 _ASPC_B = {
     -1: [1.0],
     0: [2.0, -1.0],
@@ -54,15 +66,131 @@ _ASPC_B = {
     2: [2.8, -2.8, 1.2, -0.2],
     3: [3.0, -24.0 / 7.0, 27.0 / 14.0, -4.0 / 7.0, 1.0 / 14.0],
 }
-# 'sor': iterate the SCF to target_epsilon each step (reference semantics,
-#        predictor only warm-starts the loop; safe only with k = -1).
-# 'aspc': true ASPC - predictor + exactly one damped corrector
-#        (scf_method='aspc' in the potential; models/electrostatics.py).
-SCF_MODE = os.environ.get('BENCH_SCF', 'sor')
-ASPC_K = int(os.environ.get('BENCH_ASPC_K', 3 if SCF_MODE == 'aspc' else -1))
+ASPC_K = int(os.environ.get('BENCH_ASPC_K', 3))
 
 
-def build(dtype_bits=32, scf_mode=None):
+class Bench:
+    """One scf_mode's compiled MD machinery: hot + instrumented chunks."""
+
+    def __init__(self, pot, sys_, dtype, aspc_k):
+        import jax
+        import jax.numpy as jnp
+        self.pot = pot
+        self.sys = sys_
+        self.pre_overflow = False     # last hot() pre-chunk build overflow
+        self.masses = np.asarray(sys_.masses, np.float64)
+        dt = DT_FS * 1e-3
+        inv_m = np.where(self.masses > 0,
+                         1.0 / np.where(self.masses > 0, self.masses, 1.0), 0.0)
+        inv_m = jnp.asarray(inv_m, dtype)[:, None]
+        o_idx = np.asarray(sys_.o_index)
+        skin = pot.config.nlist_skin
+        B = jnp.asarray(_ASPC_B[aspc_k], dtype)
+        self.hist_len = len(_ASPC_B[aspc_k])
+
+        from mbpol_openmm_plugin_tpu.system import make_molecules_whole
+        import dataclasses
+
+        def rebuild_lists(p):
+            pl, tl, diag = pot._neighbor_lists(make_molecules_whole(sys_, p))
+            return (pl, tl), diag['pair_overflow'] | diag['triplet_overflow']
+
+        def md_chunk(carry, n, instrumented):
+            """Velocity Verlet; SCF warm start from a B_j-weighted dipole
+            history; fully on-device displacement-triggered neighbor
+            rebuilds (lax.cond when 2*disp > skin/2 - exact list validity,
+            zero host syncs). instrumented=True adds per-step SCF
+            diagnostics and threads the rebuild-overflow flag through the
+            carry - each measurably slows the scan (see module docstring),
+            so the instrumented variant never runs inside a timed region;
+            the hot variant's overflow health comes from the pre-chunk
+            build, the post-segment capacity check, and the instrumented
+            samples."""
+            def body(c, _):
+                if instrumented:
+                    st, mu_hist, nlists, p_build, ovf = c
+                else:
+                    st, mu_hist, nlists, p_build = c
+                v_half = st.velocities + 0.5 * dt * st.forces * inv_m
+                p = st.positions + dt * v_half
+                disp = jnp.max(jnp.linalg.norm(p[o_idx] - p_build[o_idx], axis=-1))
+
+                if instrumented:
+                    def do_rebuild():
+                        nl, o = rebuild_lists(p)
+                        return nl, p, ovf | o
+
+                    nlists, p_build, ovf = jax.lax.cond(
+                        2.0 * disp > 0.5 * skin, do_rebuild,
+                        lambda: (nlists, p_build, ovf))
+                else:
+                    nlists, p_build = jax.lax.cond(
+                        2.0 * disp > 0.5 * skin,
+                        lambda: (rebuild_lists(p)[0], p),
+                        lambda: (nlists, p_build))
+                mu0 = (mu_hist[0] if self.hist_len == 1
+                       else jnp.einsum('h,hnd->nd', B, mu_hist))
+                e, f, parts, diag = pot._energy_forces_impl(p, mu0, nlists=nlists)
+                mu_hist = jnp.roll(mu_hist, 1, axis=0).at[0].set(
+                    diag['induced_dipoles'])
+                v = v_half + 0.5 * dt * f * inv_m
+                st = dataclasses.replace(st, positions=p, velocities=v,
+                                         forces=f, potential_energy=e,
+                                         step=st.step + 1)
+                if instrumented:
+                    return ((st, mu_hist, nlists, p_build, ovf),
+                            (e, diag['iterations'], diag['converged']))
+                return (st, mu_hist, nlists, p_build), e
+            return jax.lax.scan(body, carry, None, length=n)
+
+        self._hot = jax.jit(functools.partial(md_chunk, instrumented=False),
+                            static_argnames=('n',))
+        self._inst = jax.jit(functools.partial(md_chunk, instrumented=True),
+                             static_argnames=('n',))
+
+    def hot(self, carry, n):
+        """Timed path: per-step PE is the only scan output. The pre-chunk
+        list build runs inside the timed window (it is part of the real
+        per-chunk cost, and was timed in every previous round); its
+        overflow flag is checked host-side after the clock stops."""
+        st, mu_hist = carry
+        t0 = time.time()
+        nl, diag = self.pot.build_neighbor_lists(st.positions)
+        (st, mu_hist, _, _), es = self._hot((st, mu_hist, nl, st.positions), n)
+        pes = np.asarray(es)                       # host transfer = sync
+        elapsed = time.time() - t0
+        self.pre_overflow = bool(diag['pair_overflow']) \
+            | bool(diag['triplet_overflow'])
+        return (st, mu_hist), pes, elapsed
+
+    def instrumented(self, carry, n):
+        """Diagnostic path (untimed): adds SCF iterations/convergence and
+        the on-device rebuild-overflow flag."""
+        import jax.numpy as jnp
+        st, mu_hist = carry
+        nl, diag = self.pot.build_neighbor_lists(st.positions)
+        ovf0 = jnp.asarray(bool(diag['pair_overflow'])
+                           | bool(diag['triplet_overflow']))
+        (st, mu_hist, _, _, ovf), (es, its, conv) = self._inst(
+            (st, mu_hist, nl, st.positions, ovf0), n)
+        return (st, mu_hist), dict(
+            pes=np.asarray(es),
+            mean_scf_iters=round(float(np.asarray(its).mean()), 2),
+            scf_converged_frac=round(float(np.asarray(conv).mean()), 4),
+            neighbor_overflow=bool(ovf))
+
+    def kinetic(self, carry):
+        v = np.asarray(carry[0].velocities, np.float64)
+        return 0.5 * float((self.masses[:, None] * v * v).sum())
+
+    def list_capacity_ok(self, carry):
+        """Post-segment check: would a fresh build overflow the capacities?"""
+        _, diag = self.pot.build_neighbor_lists(carry[0].positions)
+        return not (bool(diag['pair_overflow'])
+                    or bool(diag['triplet_overflow']))
+
+
+def build(dtype_bits=32, scf_mode='sor'):
     import jax
     # persistent compilation cache: compiles over the tunneled TPU are slow
     # (tens of seconds to minutes) and every fresh process would redo them
@@ -79,8 +207,7 @@ def build(dtype_bits=32, scf_mode=None):
 
     from mbpol_openmm_plugin_tpu.md import integrators as I
     from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
-    from mbpol_openmm_plugin_tpu.system import (System, compute_virtual_sites,
-                                                make_molecules_whole)
+    from mbpol_openmm_plugin_tpu.system import System, compute_virtual_sites
 
     fix = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                'tests', 'fixtures', 'water256_integration_test.npz'))
@@ -96,9 +223,7 @@ def build(dtype_bits=32, scf_mode=None):
     # 25-step chunk at 0.2 fs is < 0.005 nm, so a 0.02 nm skin keeps the
     # lists valid between rebuilds while inflating the triplet batch only
     # ~1.3x (vs ~2.3x at the conservative 0.05 default for longer steps).
-    scf_mode = SCF_MODE if scf_mode is None else scf_mode
-    aspc_k = int(os.environ.get('BENCH_ASPC_K', 3)) if scf_mode == 'aspc' \
-        else ASPC_K
+    aspc_k = ASPC_K if scf_mode == 'aspc' else -1
     pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
                                   target_epsilon=1e-3 if dtype_bits == 32 else 1e-7,
                                   max_iterations=200,
@@ -107,135 +232,69 @@ def build(dtype_bits=32, scf_mode=None):
                                   nlist_skin=0.02))
     pot.tune_capacities(pos)
 
-    import dataclasses
-
-    dt = DT_FS * 1e-3
-    inv_m = np.where(np.asarray(sys_.masses) > 0,
-                     1.0 / np.where(np.asarray(sys_.masses) > 0, sys_.masses, 1.0), 0.0)
-    inv_m = jnp.asarray(inv_m, dtype)[:, None]
-
-    o_idx = np.asarray(sys_.o_index)
-    skin = pot.config.nlist_skin
-    B_aspc = jnp.asarray(_ASPC_B[aspc_k], dtype)
-    hist_len = len(_ASPC_B[aspc_k])
-
-    def rebuild_lists(p):
-        pl, tl, diag = pot._neighbor_lists(make_molecules_whole(sys_, p))
-        return (pl, tl), diag['pair_overflow'] | diag['triplet_overflow']
-
-    def md_chunk(carry, n):
-        """Velocity Verlet with ASPC-predicted SCF warm starts and fully
-        on-device displacement-triggered neighbor rebuilds: each step checks
-        max O displacement since the last build and reruns the list build
-        under lax.cond only when 2*disp exceeds half the skin - exact list
-        validity with zero host syncs. Rebuild overflow flags are OR-ed
-        through the carry and surfaced in the bench health output (a silent
-        capacity overflow would otherwise truncate lists mid-run)."""
-        def body(c, _):
-            st, mu_hist, nlists, p_build, ovf = c
-            v_half = st.velocities + 0.5 * dt * st.forces * inv_m
-            p = st.positions + dt * v_half
-            disp = jnp.max(jnp.linalg.norm(p[o_idx] - p_build[o_idx], axis=-1))
-
-            def do_rebuild():
-                nl, o = rebuild_lists(p)
-                return nl, p, ovf | o
-
-            nlists, p_build, ovf = jax.lax.cond(
-                2.0 * disp > 0.5 * skin, do_rebuild,
-                lambda: (nlists, p_build, ovf))
-            mu0 = jnp.einsum('h,hnd->nd', B_aspc, mu_hist)
-            e, f, parts, diag = pot._energy_forces_impl(p, mu0, nlists=nlists)
-            mu_hist = jnp.roll(mu_hist, 1, axis=0).at[0].set(diag['induced_dipoles'])
-            v = v_half + 0.5 * dt * f * inv_m
-            ke = 0.5 * jnp.sum(jnp.asarray(sys_.masses, dtype)[:, None] * v * v)
-            st = dataclasses.replace(st, positions=p, velocities=v, forces=f,
-                                     potential_energy=e, step=st.step + 1)
-            return (st, mu_hist, nlists, p_build, ovf), \
-                (e, ke, diag['iterations'], diag['converged'])
-        return jax.lax.scan(body, carry, None, length=n)
+    bench = Bench(pot, sys_, dtype, aspc_k)
 
     e0, f0, parts0, diag0 = pot.energy_forces(pos)   # jitted cold-start eval
     state = I.MDState(positions=pos, velocities=jnp.zeros_like(pos), forces=f0,
                       potential_energy=e0, box=jnp.asarray(box, dtype),
                       step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(0))
-    inner = jax.jit(md_chunk, static_argnames=('n',))
-
-    def step_fn(carry, n):
-        st, mu_hist = carry
-        nl, diag = pot.build_neighbor_lists(st.positions)
-        ovf0 = jnp.asarray(bool(diag['pair_overflow']) | bool(diag['triplet_overflow']))
-        (st, mu_hist, _, _, ovf), outs = inner(
-            (st, mu_hist, nl, st.positions, ovf0), n)
-        return (st, mu_hist), outs, ovf
-
-    mu0 = diag0['induced_dipoles']
-    mu_hist0 = jnp.tile(mu0[None], (hist_len, 1, 1))
-    return (state, mu_hist0), step_fn, float(e0)
+    mu_hist0 = jnp.tile(diag0['induced_dipoles'][None],
+                        (bench.hist_len, 1, 1))
+    return (state, mu_hist0), bench, float(e0)
 
 
-def _timed(step_fn, carry, n):
-    t0 = time.time()
-    carry, outs, ovf = step_fn(carry, n)
-    pes, kes, iters, conv = [np.asarray(o) for o in outs]   # transfer = sync
-    return carry, (pes, kes, iters, conv, bool(ovf)), time.time() - t0
-
-
-def _steady(step_fn, carry, therm_steps, steady_steps):
-    """Thermalize then measure, in N_STEPS chunks (one compiled program)."""
-    for _ in range(therm_steps // N_STEPS):
-        carry, _, _ = _timed(step_fn, carry, N_STEPS)
-    spes, skes, siters, sconv = [], [], [], []
+def _steady(bench, carry, therm_steps, steady_steps):
+    """Thermalize (hot chunks), measure (hot chunks, timed), then sample one
+    instrumented chunk for SCF/overflow diagnostics."""
     ovf = False
+    for _ in range(therm_steps // N_STEPS):
+        carry, _, _ = bench.hot(carry, N_STEPS)
+        ovf = ovf or bench.pre_overflow
+    ke_start = bench.kinetic(carry)
+    all_pes = []
     s_elapsed = 0.0
     for _ in range(max(steady_steps // N_STEPS, 1)):
-        carry, (p_, k_, i_, c_, o_), dt_ = _timed(step_fn, carry, N_STEPS)
-        spes.append(p_)
-        skes.append(k_)
-        siters.append(i_)
-        sconv.append(c_)
-        ovf = ovf or o_
+        carry, pes, dt_ = bench.hot(carry, N_STEPS)
+        ovf = ovf or bench.pre_overflow
+        all_pes.append(pes)
         s_elapsed += dt_
-    spes = np.concatenate(spes)
-    skes = np.concatenate(skes)
-    siters = np.concatenate(siters)
-    sconv = np.concatenate(sconv)
-    etot = spes + skes
+    ke_end = bench.kinetic(carry)
+    pes = np.concatenate(all_pes)
+    cap_ok = bench.list_capacity_ok(carry)
+    carry, diag = bench.instrumented(carry, N_STEPS)   # untimed sample
     return carry, dict(
-        steps_per_second=round(len(spes) / s_elapsed, 3),
-        n_steps=len(spes),
-        mean_scf_iters=round(float(siters.mean()), 2),
-        scf_converged_frac=round(float(sconv.mean()), 4),
-        etot_drift_kJmol=round(float(etot[-1] - etot[0]), 3),
-        nan_detected=bool(np.isnan(spes).any()),
-        neighbor_overflow=bool(ovf))
+        steps_per_second=round(len(pes) / s_elapsed, 3),
+        n_steps=len(pes),
+        mean_scf_iters=diag['mean_scf_iters'],
+        scf_converged_frac=diag['scf_converged_frac'],
+        etot_drift_kJmol=round(float(pes[-1] - pes[0]) + (ke_end - ke_start), 3),
+        nan_detected=bool(np.isnan(pes).any() or np.isnan(diag['pes']).any()),
+        neighbor_overflow=bool(ovf or diag['neighbor_overflow'] or not cap_ok))
 
 
 def main():
     import jax
-    carry0, step_fn, e0 = build(32, scf_mode='sor')
+    carry0, bench, e0 = build(32, scf_mode='sor')
 
     # warmup/compile on a throwaway advance, then measure the headline
     # 100-step protocol FROM THE CONVERGED FIXTURE (comparable across
     # rounds; reference protocol python/utils/run_benchmark.py:18-70)
-    _ = _timed(step_fn, carry0, N_STEPS)
-    carry, (pes, kes, iters, conv1, ovf1), elapsed = _timed(step_fn, carry0,
-                                                            N_STEPS)
+    _ = bench.hot(carry0, N_STEPS)
+    carry, pes, elapsed = bench.hot(carry0, N_STEPS)
     steps_per_s = N_STEPS / elapsed
     ns_per_day = steps_per_s * DT_FS * 1e-6 * 86400.0
 
     # steady state A: reference semantics (SOR converged to target each step)
-    carry, sor = _steady(step_fn, carry, STEADY_THERM, STEADY_STEPS)
+    carry, sor = _steady(bench, carry, STEADY_THERM, STEADY_STEPS)
 
     # steady state B: ASPC closure (one damped corrector/step; faster AND
     # drift-free vs the loosely-converged SOR loop). Seed from the SOR
     # thermalized state; short re-thermalization for the new closure.
-    st, mu_hist = carry
-    carry_a, step_fn_a, _ = build(32, scf_mode='aspc')
-    _, mu_hist_a0 = carry_a
     import jax.numpy as jnp
-    mu_hist_a = jnp.tile(mu_hist[:1], (mu_hist_a0.shape[0], 1, 1))
-    _, aspc = _steady(step_fn_a, (st, mu_hist_a), 2 * N_STEPS, STEADY_STEPS)
+    st, mu_hist = carry
+    carry_a, bench_a, _ = build(32, scf_mode='aspc')
+    mu_hist_a = jnp.tile(mu_hist[:1], (bench_a.hist_len, 1, 1))
+    _, aspc = _steady(bench_a, (st, mu_hist_a), 2 * N_STEPS, STEADY_STEPS)
 
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  'BASELINE_LOCAL.json')
@@ -260,7 +319,8 @@ def main():
                    steady_state_sor=sor,
                    steady_state_aspc=aspc,
                    aspc_steady_state_steps_per_second=aspc['steps_per_second'],
-                   neighbor_overflow=bool(ovf1 or sor['neighbor_overflow']
+                   aspc_k=ASPC_K,
+                   neighbor_overflow=bool(sor['neighbor_overflow']
                                           or aspc['neighbor_overflow']),
                    nan_detected=bool(np.isnan(pes).any()
                                      or sor['nan_detected']
