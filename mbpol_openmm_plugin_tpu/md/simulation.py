@@ -127,13 +127,20 @@ class Simulation:
                 nlists = (pl, tl)
 
             def body(carry, _):
+                # HOT PATH: the only per-step scan output is the potential
+                # energy. Emitting per-step health flags or kinetic energy
+                # from inside the scan was measured to cost 0.25-0.8
+                # ms/step on TPU (water256: 252 -> 184 steps/s; an XLA
+                # scheduling effect - anything derived from the SCF
+                # while_loop or an extra reduction breaks overlap). The
+                # unused health value below is dead-code-eliminated by XLA;
+                # health is instead checked at report boundaries (step()).
                 s, m = carry
-                s, m, ok = self._one_step(s, m, nlists)
-                ke = I.kinetic_energy(self.system, s.velocities)
-                return (s, m), (s.potential_energy, ke, ok)
+                s, m, _ok = self._one_step(s, m, nlists)
+                return (s, m), s.potential_energy
 
-            (state, mu), out = jax.lax.scan(body, (state, mu), None, length=n)
-            return state, mu, out
+            (state, mu), pes = jax.lax.scan(body, (state, mu), None, length=n)
+            return state, mu, pes
 
         mu = None
         if cfg.scf_warm_start and self.potential.elec_params is not None:
@@ -157,22 +164,20 @@ class Simulation:
                 e, _, _, _ = self.potential._energy_forces_impl(p, box=box)
                 return e
 
-        pes, kes, oks = [], [], []
+        pes = []
         done = 0
         while done < n_steps:
             n = min(group, n_steps - done)
-            state, mu, (pe, ke, ok) = scan_group(state, mu, n)
+            state, mu, pe = scan_group(state, mu, n)
             if baro:
                 state, accepted = I.monte_carlo_barostat_move(
                     self.system, energy_at, state, cfg.temperature,
                     cfg.barostat_pressure,
                     scale_state=0.01 * state.box[0] * state.box[1] * state.box[2])
             pes.append(pe)
-            kes.append(ke)
-            oks.append(ok)
             done += n
-        return (state, jnp.concatenate(pes), jnp.concatenate(kes),
-                jnp.concatenate(oks))
+        ke_end = I.kinetic_energy(self.system, state.velocities)
+        return state, jnp.concatenate(pes), ke_end
 
     def step(self, n_steps, report_interval=None, check_health=True):
         """Advance n_steps. Returns a dict of per-report-interval metrics
@@ -186,21 +191,30 @@ class Simulation:
         remaining = n_steps
         while remaining > 0:
             chunk = min(report_interval, remaining)
-            self.state, pe, ke, ok = self._step_chunk(self.state, chunk)
-            if check_health and not bool(jnp.all(ok)):
-                # per-step flags come out of the scan itself (no extra
-                # evaluation on the happy path); only on failure do we pay
-                # one diagnostic re-evaluation for the error details
+            self.state, pe, ke = self._step_chunk(self.state, chunk)
+            if check_health:
+                # The hot scan emits only per-step PE (in-scan health flags
+                # cost 0.25-0.8 ms EVERY step on TPU - see _step_chunk_impl);
+                # instead pay ONE diagnostic evaluation per report boundary
+                # (~a single step's cost, amortized over the interval) plus
+                # a NaN check on the PE trace, which catches mid-chunk
+                # explosions because NaN propagates to every later step.
+                pe_host = np.asarray(pe)
+                nan_step = (int(np.argmax(np.isnan(pe_host)))
+                            if np.isnan(pe_host).any() else None)
                 _, _, _, diag = self.potential._energy_forces(self.state.positions)
-                raise RuntimeError(
-                    'simulation health check failed at step %d: %s' %
-                    (int(np.argmin(np.asarray(ok))) + int(self.state.step) - chunk,
-                     {k: diag[k] for k in ('converged', 'iterations', 'epsilon',
-                                           'pair_overflow', 'triplet_overflow',
-                                           'pair_eval_overflow', 'triplet_eval_overflow')
-                      if k in diag}))
+                if nan_step is not None or not bool(self._health(diag)):
+                    at = (int(self.state.step) - chunk + nan_step
+                          if nan_step is not None else int(self.state.step))
+                    raise RuntimeError(
+                        'simulation health check failed at step %d: %s' %
+                        (at,
+                         {k: diag[k] for k in ('converged', 'iterations', 'epsilon',
+                                               'pair_overflow', 'triplet_overflow',
+                                               'pair_eval_overflow', 'triplet_eval_overflow')
+                          if k in diag}))
             pes.append(float(pe[-1]))
-            kes.append(float(ke[-1]))
+            kes.append(float(ke))
             steps.append(int(self.state.step))
             remaining -= chunk
         ndof = 3 * int(np.sum(np.asarray(self.system.masses) > 0))
