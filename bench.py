@@ -59,13 +59,14 @@ DT_FS = 0.2
 # 2*mu1-mu2 attempt) - extrapolation is only safe as true ASPC (predictor
 # + exactly one SOR-damped corrector, scf_method='aspc'), where approximate
 # time reversibility bounds the energy drift.
-_ASPC_B = {
-    -1: [1.0],
-    0: [2.0, -1.0],
-    1: [2.5, -2.0, 0.5],
-    2: [2.8, -2.8, 1.2, -0.2],
-    3: [3.0, -24.0 / 7.0, 27.0 / 14.0, -4.0 / 7.0, 1.0 / 14.0],
-}
+def _aspc_b(k):
+    if k == -1:
+        return np.asarray([1.0])
+    from mbpol_openmm_plugin_tpu.models.electrostatics import \
+        aspc_predictor_coefficients
+    return aspc_predictor_coefficients(k)
+
+
 ASPC_K = int(os.environ.get('BENCH_ASPC_K', 3))
 
 
@@ -85,8 +86,8 @@ class Bench:
         inv_m = jnp.asarray(inv_m, dtype)[:, None]
         o_idx = np.asarray(sys_.o_index)
         skin = pot.config.nlist_skin
-        B = jnp.asarray(_ASPC_B[aspc_k], dtype)
-        self.hist_len = len(_ASPC_B[aspc_k])
+        B = jnp.asarray(_aspc_b(aspc_k), dtype)
+        self.hist_len = len(_aspc_b(aspc_k))
 
         from mbpol_openmm_plugin_tpu.system import make_molecules_whole
         import dataclasses

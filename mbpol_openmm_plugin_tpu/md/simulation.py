@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mbpol_openmm_plugin_tpu.md import integrators as I
+from mbpol_openmm_plugin_tpu.models import electrostatics as elec
 from mbpol_openmm_plugin_tpu.models.potential import MBPol
 from mbpol_openmm_plugin_tpu.utils import units
 
@@ -118,6 +119,16 @@ class Simulation:
         cfg = self.config
         reuse = max(int(cfg.nlist_rebuild_interval), 1)
         use_nl = self.potential.use_neighbor_lists
+        warm = cfg.scf_warm_start and self.potential.elec_params is not None
+        # ASPC closure (potential scf_method='aspc'): the scan carries the
+        # last k+2 corrected dipole sets and feeds the B_j-weighted
+        # predictor into the single SOR-damped corrector each step. The
+        # history machinery is measured free on TPU (unlike per-step scan
+        # diagnostics); see models/electrostatics.scf_induced_dipoles_aspc.
+        aspc = warm and self.potential.config.scf_method == 'aspc'
+        B = (jnp.asarray(elec.aspc_predictor_coefficients(
+                 self.potential.config.aspc_k), state.positions.dtype)
+             if aspc else None)
 
         def scan_group(state, mu, n):
             nlists = None
@@ -136,19 +147,27 @@ class Simulation:
                 # unused health value below is dead-code-eliminated by XLA;
                 # health is instead checked at report boundaries (step()).
                 s, m = carry
-                s, m, _ok = self._one_step(s, m, nlists)
+                if aspc:
+                    mu0 = jnp.einsum('h,hnd->nd', B, m)
+                    s, mu_new, _ok = self._one_step(s, mu0, nlists)
+                    m = jnp.roll(m, 1, axis=0).at[0].set(mu_new)
+                else:
+                    s, m, _ok = self._one_step(s, m, nlists)
                 return (s, m), s.potential_energy
 
             (state, mu), pes = jax.lax.scan(body, (state, mu), None, length=n)
             return state, mu, pes
 
         mu = None
-        if cfg.scf_warm_start and self.potential.elec_params is not None:
+        if warm:
             n = self.system.n_atoms
             mu = jnp.zeros((n, 3), state.positions.dtype)
             # seed from a cold-start evaluation of the current positions
             _, _, _, diag0 = self.potential._energy_forces_impl(state.positions)
             mu = diag0.get('induced_dipoles', mu)
+            if aspc:
+                mu = jnp.tile(mu[None], (len(elec.aspc_predictor_coefficients(
+                    self.potential.config.aspc_k)), 1, 1))
 
         baro = (cfg.barostat_pressure is not None and cfg.temperature is not None
                 and self.system.periodic)

@@ -438,6 +438,22 @@ def aspc_omega(k):
     return (k + 2.0) / (2.0 * k + 3.0)
 
 
+def aspc_predictor_coefficients(k):
+    """Kolafa ASPC predictor coefficients B_j (J. Comput. Chem. 25, 335
+    (2004), Table I) over the last k+2 corrected dipole sets, newest first.
+    Each row sums to 1, so a history initialized by tiling one converged
+    dipole set degenerates to the plain warm start for the first steps."""
+    table = {
+        0: [2.0, -1.0],
+        1: [2.5, -2.0, 0.5],
+        2: [2.8, -2.8, 1.2, -0.2],
+        3: [3.0, -24.0 / 7.0, 27.0 / 14.0, -4.0 / 7.0, 1.0 / 14.0],
+    }
+    if k not in table:
+        raise ValueError(f'ASPC predictor order k={k} not tabulated (0..3)')
+    return np.asarray(table[k], np.float64)
+
+
 def scf_induced_dipoles_aspc(efield_alpha, alpha, s3, s5, delta, target_epsilon,
                              max_iterations, extra_field=None, mu0=None,
                              dipole_field=None, omega=5.0 / 9.0):

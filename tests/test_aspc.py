@@ -82,6 +82,27 @@ def _nve(pot, sys_, pos, n_steps, aspc=False):
     return np.asarray(etots)
 
 
+def test_simulation_driver_aspc_mode():
+    """Simulation carries the ASPC dipole history in its scan and tracks
+    the fully converged driver over a short NVE run."""
+    from mbpol_openmm_plugin_tpu.md.simulation import (Simulation,
+                                                       SimulationConfig)
+    sys_, pos = fixtures.load_system('water3')
+
+    def run(scf_method):
+        pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff', cutoff=0.9,
+                                      scf_method=scf_method, aspc_k=2))
+        sim = Simulation(pot, SimulationConfig(dt=2e-4))
+        sim.set_positions(pos)
+        m = sim.step(20, report_interval=5)
+        return m['total_energy']
+
+    e_sor = run('sor')
+    e_aspc = run('aspc')
+    assert np.isfinite(e_aspc).all()
+    np.testing.assert_allclose(e_aspc, e_sor, atol=2e-2)
+
+
 def test_aspc_short_nve_tracks_converged_trajectory():
     sys_, pos, sor, aspc = _pots()
     e_ref = _nve(sor, sys_, pos, 30, aspc=False)
