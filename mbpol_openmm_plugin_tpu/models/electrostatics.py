@@ -283,7 +283,7 @@ def _dipole_field(mu, s3, s5, delta):
 
 def scf_induced_dipoles_diis(efield_alpha, alpha, s3, s5, delta, target_epsilon,
                              max_iterations, extra_field=None, mu0=None,
-                             depth=5, dipole_field=None):
+                             depth=5, dipole_field=None, n_eps=None):
     """DIIS/Anderson-accelerated SCF (the reference's CUDA platform uses DIIS
     for the same reason, multipoleInducedField.cu:374-482 - but solves the
     small system on the host; here everything stays on device).
@@ -295,7 +295,7 @@ def scf_induced_dipoles_diis(efield_alpha, alpha, s3, s5, delta, target_epsilon,
     Convergence metric matches the reference (polarSOR * debye *
     sqrt(|r|^2/N)), so `converged` means the same thing as the SOR path.
     """
-    n = efield_alpha.shape[0]
+    n = n_eps or efield_alpha.shape[0]   # metric divisor: ACTIVE sites
     dtype = efield_alpha.dtype
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
     if dtype == jnp.float32:
@@ -377,7 +377,7 @@ def scf_induced_dipoles_diis(efield_alpha, alpha, s3, s5, delta, target_epsilon,
 
 def scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta, target_epsilon,
                         max_iterations, extra_field=None, mu0=None,
-                        dipole_field=None):
+                        dipole_field=None, n_eps=None):
     """SOR fixed-point iteration for the induced dipoles.
 
     Args:
@@ -393,7 +393,7 @@ def scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta, target_epsilon,
     polarSOR*debye*sqrt(sum|dmu|^2/N), stop on convergence, divergence
     (epsilon increase) or max iterations.
     """
-    n = efield_alpha.shape[0]
+    n = n_eps or efield_alpha.shape[0]   # metric divisor: ACTIVE sites
     dtype = efield_alpha.dtype
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
     if dtype == jnp.float32:
@@ -456,7 +456,7 @@ def aspc_predictor_coefficients(k):
 
 def scf_induced_dipoles_aspc(efield_alpha, alpha, s3, s5, delta, target_epsilon,
                              max_iterations, extra_field=None, mu0=None,
-                             dipole_field=None, omega=5.0 / 9.0):
+                             dipole_field=None, omega=5.0 / 9.0, n_eps=None):
     """Always-stable predictor-corrector (Kolafa ASPC) dipole closure.
 
     Exactly ONE damped SCF iteration applied to the caller-supplied predictor
@@ -479,8 +479,8 @@ def scf_induced_dipoles_aspc(efield_alpha, alpha, s3, s5, delta, target_epsilon,
         return scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta,
                                    target_epsilon, max_iterations,
                                    extra_field=extra_field,
-                                   dipole_field=dipole_field)
-    n = efield_alpha.shape[0]
+                                   dipole_field=dipole_field, n_eps=n_eps)
+    n = n_eps or efield_alpha.shape[0]   # metric divisor: ACTIVE sites
     field = (_dipole_field(mu0, s3, s5, delta) if dipole_field is None
              else dipole_field(mu0))
     if extra_field is not None:

@@ -274,16 +274,18 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
     # box, unsharded): recompute the whole pair chain per VMEM tile instead
     # of materializing ~35 [N,N] tensors in HBM (ops/elec_pallas.py).
     from mbpol_openmm_plugin_tpu.ops import elec_pallas
-    eligible = mesh is None and not isinstance(box, jnp.ndarray)
+    # static box is required (the kernels bake setup.box as constants); a
+    # mesh is fine - the sharded wrappers shard_map row tiles over 'dp'
+    eligible = not isinstance(box, jnp.ndarray)
     use_kernels = elec_pallas.use_pallas(dtype) and eligible
     interpret = False
     import os
     if os.environ.get('MBPOL_ELEC_PALLAS') == 'interpret' and eligible:
         # interpret-mode override for CPU testing of the kernels; it must
-        # still respect the mesh/static-box eligibility (the kernels bake in
-        # the static setup.box and have no sharding annotations)
+        # still respect the static-box eligibility
         use_kernels, interpret = True, True
-    use_bs = block is not None and use_kernels
+    sharded = use_kernels and mesh is not None
+    use_bs = block is not None and use_kernels and mesh is None
     bs_diag = {}
 
     if use_bs:
@@ -307,17 +309,35 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
     elif use_kernels:
         d16_inv = jnp.asarray(
             np.asarray(params.damping, np.float64) ** (-1.0 / 6.0), dtype)
-        srow = elec_pallas.pack_sites(
-            positions, charges, d16_inv,
-            jnp.asarray(params.mol_index), jnp.asarray(params.atom_type == 0))
-        ef_direct, s3_dir, s5_dir = elec_pallas.fixed_field_and_scf_factors(
-            setup, th, srow, n, interpret=interpret)
-        if s3_dir.shape[0] != n:
-            s3_dir = s3_dir[:n, :n]
-            s5_dir = s5_dir[:n, :n]
         bvec = jnp.asarray(box, dtype)
-        delta = positions[None, :, :] - positions[:, None, :]
-        delta = delta - jnp.floor(delta / bvec + 0.5) * bvec
+        if sharded:
+            # rows sharded over the mesh: everything [np_, ...] stays PADDED
+            # (padded rows give exact zeros in s3/s5 and alpha, so the SCF
+            # runs at the padded size with no resharding slices)
+            np_s = elec_pallas.padded_for_mesh(n, mesh.devices.size)
+            srow = elec_pallas.pack_sites(
+                positions, charges, d16_inv,
+                jnp.asarray(params.mol_index),
+                jnp.asarray(params.atom_type == 0), pad_to=np_s)
+            ef_direct, s3_dir, s5_dir = \
+                elec_pallas.fixed_field_and_scf_factors_sharded(
+                    setup, th, srow, n, mesh, interpret=interpret)
+            from mbpol_openmm_plugin_tpu.parallel import mesh as M
+            pos_p = jnp.zeros((np_s, 3), dtype).at[:n].set(positions)
+            delta = pos_p[None, :, :] - pos_p[:, None, :]
+            delta = delta - jnp.floor(delta / bvec + 0.5) * bvec
+            delta = M.constrain(delta, M.row_sharded(mesh))
+        else:
+            srow = elec_pallas.pack_sites(
+                positions, charges, d16_inv,
+                jnp.asarray(params.mol_index), jnp.asarray(params.atom_type == 0))
+            ef_direct, s3_dir, s5_dir = elec_pallas.fixed_field_and_scf_factors(
+                setup, th, srow, n, interpret=interpret)
+            if s3_dir.shape[0] != n:
+                s3_dir = s3_dir[:n, :n]
+                s5_dir = s5_dir[:n, :n]
+            delta = positions[None, :, :] - positions[:, None, :]
+            delta = delta - jnp.floor(delta / bvec + 0.5) * bvec
     else:
         # ---- pair tensors (minimum image, cutoff) ----
         t = elec._pair_tensors(params, positions,
@@ -402,10 +422,28 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
             return f_s[inv]
 
     scf = elec.make_scf(params)
-    mu, diag = scf(
-        efield * alpha_pol[:, None], alpha_pol, s3_dir, s5_dir, delta,
-        params.target_epsilon, params.max_iterations, extra_field=extra_field,
-        mu0=mu0, dipole_field=dipole_field)
+    if sharded:
+        # padded SCF: padded rows have alpha = 0 and zero s3/s5 rows/cols,
+        # so their dipoles stay exactly 0; the epsilon metric divides by
+        # the ACTIVE site count (n_eps) to keep reference semantics
+        def _pad(a):
+            return jnp.zeros((np_s,) + a.shape[1:], a.dtype).at[:n].set(a)
+
+        def extra_field_p(mu_p):
+            return _pad(extra_field(mu_p[:n]))
+
+        mu_p, diag = scf(
+            _pad(efield * alpha_pol[:, None]), _pad(alpha_pol),
+            s3_dir, s5_dir, delta,
+            params.target_epsilon, params.max_iterations,
+            extra_field=extra_field_p,
+            mu0=None if mu0 is None else _pad(mu0), n_eps=n)
+        mu = mu_p[:n]
+    else:
+        mu, diag = scf(
+            efield * alpha_pol[:, None], alpha_pol, s3_dir, s5_dir, delta,
+            params.target_epsilon, params.max_iterations, extra_field=extra_field,
+            mu0=mu0, dipole_field=dipole_field)
     diag = dict(diag, **bs_diag)
 
     # ---- direct-space energy/forces/potential ----
@@ -414,6 +452,10 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
             setup, th, srow, mu[perm], n, ti, tj, meta, interpret=interpret)
         forces = -f_elec * force_s[inv]
         pot = pot_s[inv]
+    elif use_kernels and sharded:
+        e_direct, force_pair, pot = elec_pallas.direct_energy_force_pot_sharded(
+            setup, th, srow, mu, n, mesh, interpret=interpret)
+        forces = -f_elec * force_pair
     elif use_kernels:
         e_direct, force_pair, pot = elec_pallas.direct_energy_force_pot(
             setup, th, srow, mu, n, interpret=interpret)

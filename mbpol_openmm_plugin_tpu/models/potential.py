@@ -131,15 +131,20 @@ class MBPol:
             # (O(N) memory) takes over. Measured at water2048 on v5e:
             # sparse 193 ms vs dense+Pallas ~45 ms per evaluation.
             # The raised limit only applies when the Pallas kernels are
-            # actually eligible (f32 TPU, unsharded): the XLA dense fallback
-            # materializes ~35 [N,N] tensors and OOMs far earlier.
+            # actually eligible (f32 TPU): the XLA dense fallback
+            # materializes ~35 [N,N] tensors and OOMs far earlier. Under a
+            # mesh the dense kernels run shard_map'd over row tiles
+            # (elec_pallas.fixed_field_and_scf_factors_sharded), so the
+            # per-device O(N^2/ndev) memory stretches the dense limit; the
+            # block path is single-device only, so large meshed systems use
+            # the sharded sparse path.
             from mbpol_openmm_plugin_tpu.ops import elec_pallas
             import jax.numpy as _jnp
-            pallas_ok = (elec_pallas.use_pallas(_jnp.float32)
-                         and mesh is None)
-            dense_limit = 2560 if pallas_ok else 512
+            pallas_ok = elec_pallas.use_pallas(_jnp.float32)
+            ndev = 1 if mesh is None else mesh.devices.size
+            dense_limit = (2560 * max(ndev // 2, 1)) if pallas_ok else 512
             if self.pme is not None and system.n_waters > dense_limit:
-                mode = 'block' if pallas_ok else 'sparse'
+                mode = ('block' if pallas_ok and mesh is None else 'sparse')
             else:
                 mode = 'dense'
         self.elec_mode = mode

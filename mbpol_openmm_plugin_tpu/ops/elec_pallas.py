@@ -38,8 +38,11 @@ TJ = 256
 _GAMMA_3_4 = 1.2254167024651776451290983034   # Gamma(3/4)
 _SQRT_PI = float(np.sqrt(np.pi))
 
-# packed per-site scalar columns
-_X, _Y, _Z, _Q, _D16, _MOL, _ISO = range(7)
+# packed per-site scalar columns; _IDX carries the GLOBAL site index so a
+# kernel invocation over any row block (e.g. one shard's rows under
+# shard_map) can form self/validity masks without a row offset (f32 holds
+# integers exactly to 2^24, far above any site count here)
+_X, _Y, _Z, _Q, _D16, _MOL, _ISO, _IDX = range(8)
 _NS = 8
 
 # erf(x)/x on x in [0,1] as a polynomial in x^2 (Chebyshev-fit, max abs err
@@ -87,14 +90,16 @@ def _erfc(x):
     return jnp.where(x < 1.0, 1.0 - small, large)
 
 
-def _pair_chain(srow, scol, i0, j0, n_sites, consts, need_cc1=False):
+def _pair_chain(srow, scol, n_sites, consts, need_cc1=False):
     """Common per-tile pair quantities.
 
-    srow: [TI, 8] row-side site scalars; scol: [8, TJ] column side.
-    Returns a dict of [TI, TJ] tensors (all masked to valid, non-self pairs
-    within the cutoff where appropriate). need_cc1 adds the order-1 Thole
-    factor (the fast Q(3/4,x) fit) - only the energy/potential kernel
-    needs it.
+    srow: [TI, 8] row-side site scalars; scol: [8, TJ] column side. Self and
+    validity masks come from the packed _IDX column, so the tile may hold
+    ANY row block (including one shard's rows under shard_map) with no
+    offset bookkeeping. Returns a dict of [TI, TJ] tensors (all masked to
+    valid, non-self pairs within the cutoff where appropriate). need_cc1
+    adds the order-1 Thole factor (the fast Q(3/4,x) fit) - only the
+    energy/potential kernel needs it.
     """
     (alpha, cutoff2, g_cc, g_cd, g_dd, g_ddoh, g_ddhh, bx, by, bz) = consts
 
@@ -109,8 +114,8 @@ def _pair_chain(srow, scol, i0, j0, n_sites, consts, need_cc1=False):
     dz = dz - jnp.floor(dz / bz + 0.5) * bz
     r2 = dx * dx + dy * dy + dz * dz
 
-    ii = i0 + jax.lax.broadcasted_iota(jnp.int32, (TI, TJ), 0)
-    jj = j0 + jax.lax.broadcasted_iota(jnp.int32, (TI, TJ), 1)
+    ii = srow[:, _IDX:_IDX + 1]
+    jj = scol[_IDX:_IDX + 1, :]
     notself = (ii != jj) & (ii < n_sites) & (jj < n_sites)
     within = notself & (r2 <= cutoff2)
 
@@ -182,7 +187,7 @@ def _fixed_field_kernel(consts, n_sites, srow_ref, scol_ref, ef_ref,
 
     srow = srow_ref[:]
     scol = scol_ref[:]
-    t = _pair_chain(srow, scol, i * TI, j * TJ, n_sites, consts)   # no cc1
+    t = _pair_chain(srow, scol, n_sites, consts)   # no cc1
 
     # SCF factors (preFactor1/2, cpp:1342-1407 PME direct)
     s3_ref[:] = (1.0 - t['s_dd3']) * t['rr3c'] - t['bn1']
@@ -218,7 +223,7 @@ def _pair_force_kernel(consts, n_sites, srow_ref, scol_ref, mrow_ref,
 
     srow = srow_ref[:]
     scol = scol_ref[:]
-    t = _pair_chain(srow, scol, i * TI, j * TJ, n_sites, consts, need_cc1=True)
+    t = _pair_chain(srow, scol, n_sites, consts, need_cc1=True)
 
     qi = srow[:, _Q:_Q + 1]
     qj = scol[_Q:_Q + 1, :]
@@ -301,13 +306,16 @@ def _padded(n):
     return ((n + TI - 1) // TI) * TI
 
 
-def pack_sites(positions, charges, d16_inv, mol_index, is_o):
+def pack_sites(positions, charges, d16_inv, mol_index, is_o, pad_to=None):
     """[N,8] row-side packed site scalars (and padding to the tile size).
 
     d16_inv: per-site 1/damping^(1/6) so that u = r * d16_inv_i * d16_inv_j.
+    pad_to: optional row count (>= the tile-aligned size), e.g. a multiple
+    of TI * n_devices for the shard_map'd kernels.
     """
     n = positions.shape[0]
-    np_ = _padded(n)
+    np_ = _padded(n) if pad_to is None else int(pad_to)
+    assert np_ % TI == 0 and np_ >= n
     dt = positions.dtype
     s = jnp.zeros((np_, _NS), dt)
     s = s.at[:n, _X].set(positions[:, 0])
@@ -317,6 +325,9 @@ def pack_sites(positions, charges, d16_inv, mol_index, is_o):
     s = s.at[:n, _D16].set(d16_inv)
     s = s.at[:n, _MOL].set(mol_index.astype(dt))
     s = s.at[:n, _ISO].set(is_o.astype(dt))
+    # global site index (self/validity masks; padded rows get an index
+    # >= any n_sites so they mask out everywhere)
+    s = s.at[:, _IDX].set(jnp.arange(np_, dtype=dt))
     # padded sites: unique fake molecule ids so they never look same-mol
     s = s.at[n:, _MOL].set(-1.0)
     return s
@@ -356,6 +367,134 @@ def fixed_field_and_scf_factors(setup, thole, srow, n_sites, interpret=False):
             bytes_accessed=2 * np_ * np_ * 4),
     )(srow, srow.T)
     return ef[:n_sites, :3], s3, s5
+
+
+def padded_for_mesh(n, n_devices):
+    """Row count for the shard_map'd kernels: a multiple of TI*n_devices so
+    every shard holds whole tiles."""
+    k = TI * n_devices
+    return ((n + k - 1) // k) * k
+
+
+def _row_sharded_call(mesh, f, srow, *extra_cols):
+    """Run `f(srow_local, scol_full, *cols_full)` with rows sharded over the
+    mesh's 'dp' axis and everything else replicated. The packed _IDX column
+    makes row blocks offset-free, so each shard just runs the same kernel
+    grid over its rows x all columns; XLA inserts the all-gather of the
+    (tiny) replicated operands and leaves the [rows, N] outputs sharded.
+
+    Role analog: the CUDA platform's interacting-tile decomposition
+    (CudaMBPolKernels.cpp:278-304) splits the same pair space across SMs;
+    here row blocks split across chips over ICI.
+    """
+    from jax.sharding import PartitionSpec as P
+    import jax as _jax
+    axis = mesh.axis_names[0]
+    rows = P(axis, None)
+    repl = P(None, None)
+    n_out = None
+
+    def wrapped(srow_l, scol, *cols):
+        outs = f(srow_l, scol, *cols)
+        return outs
+
+    return _jax.shard_map(
+        wrapped, mesh=mesh,
+        in_specs=(rows, repl) + tuple(repl for _ in extra_cols),
+        out_specs=(rows, rows, rows),
+        check_vma=False)(srow, srow.T, *extra_cols)
+
+
+def fixed_field_and_scf_factors_sharded(setup, thole, srow, n_sites, mesh,
+                                        interpret=False):
+    """K1 under a device mesh: rows sharded over 'dp' via shard_map.
+
+    srow must be packed with pad_to=padded_for_mesh(n, ndev). Returns
+    (efield [n,3] (unsharded view), s3 [np,np] row-sharded,
+    s5 [np,np] row-sharded). Padded rows/cols produce exact zeros in
+    s3/s5 (masked by the within/validity masks), so downstream dense SCF
+    matmuls can run at the padded size unchanged.
+    """
+    np_ = srow.shape[0]
+    ndev = mesh.devices.size
+    assert np_ % (TI * ndev) == 0, (np_, ndev)
+    consts = _consts(setup, thole)
+    local_rows = np_ // ndev
+
+    def shard_fn(srow_l, scol):
+        grid = (local_rows // TI, np_ // TJ)
+        kern = functools.partial(_fixed_field_kernel, consts, n_sites)
+        ef, s3, s5 = pl.pallas_call(
+            kern,
+            out_shape=[jax.ShapeDtypeStruct((local_rows, _NS), srow_l.dtype),
+                       jax.ShapeDtypeStruct((local_rows, np_), srow_l.dtype),
+                       jax.ShapeDtypeStruct((local_rows, np_), srow_l.dtype)],
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TI, _NS), lambda i, j: (i, 0)),
+                pl.BlockSpec((_NS, TJ), lambda i, j: (0, j)),
+            ],
+            out_specs=[pl.BlockSpec((TI, _NS), lambda i, j: (i, 0)),
+                       pl.BlockSpec((TI, TJ), lambda i, j: (i, j)),
+                       pl.BlockSpec((TI, TJ), lambda i, j: (i, j))],
+            scratch_shapes=[pltpu.VMEM((TI, _NS), srow_l.dtype)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=300 * local_rows * np_,
+                transcendentals=8 * local_rows * np_,
+                bytes_accessed=2 * local_rows * np_ * 4),
+        )(srow_l, scol)
+        return ef, s3, s5
+
+    ef, s3, s5 = _row_sharded_call(mesh, shard_fn, srow)
+    return ef[:n_sites, :3], s3, s5
+
+
+def direct_energy_force_pot_sharded(setup, thole, srow, mu, n_sites, mesh,
+                                    interpret=False):
+    """K2 under a device mesh: rows sharded over 'dp' via shard_map.
+    Returns (e_direct scalar, force [n,3], pot [n])."""
+    np_ = srow.shape[0]
+    ndev = mesh.devices.size
+    assert np_ % (TI * ndev) == 0, (np_, ndev)
+    consts = _consts(setup, thole)
+    local_rows = np_ // ndev
+    mrow = jnp.zeros((np_, _NS), srow.dtype).at[:n_sites, :3].set(mu)
+
+    def shard_fn(srow_l, scol, mrow_l, mcol):
+        grid = (local_rows // TI, np_ // TJ)
+        kern = functools.partial(_pair_force_kernel, consts, n_sites)
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((local_rows, _NS), srow_l.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TI, _NS), lambda i, j: (i, 0)),
+                pl.BlockSpec((_NS, TJ), lambda i, j: (0, j)),
+                pl.BlockSpec((TI, _NS), lambda i, j: (i, 0)),
+                pl.BlockSpec((_NS, TJ), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((TI, _NS), lambda i, j: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((TI, _NS), srow_l.dtype)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=400 * local_rows * np_,
+                transcendentals=8 * local_rows * np_,
+                bytes_accessed=2 * local_rows * np_ * 4),
+        )(srow_l, scol, mrow_l, mcol)
+        return out
+
+    from jax.sharding import PartitionSpec as P
+    axis = mesh.axis_names[0]
+    out = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(axis, None), P(None, None)),
+        out_specs=P(axis, None),
+        check_vma=False)(srow, srow.T, mrow, mrow.T)
+    e = jnp.sum(out[:n_sites, 4])
+    force = out[:n_sites, :3]
+    pot = out[:n_sites, 3]
+    return e, force, pot
 
 
 def direct_energy_force_pot(setup, thole, srow, mu, n_sites, interpret=False):

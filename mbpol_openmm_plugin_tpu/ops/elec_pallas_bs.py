@@ -131,9 +131,7 @@ def _fixed_field_bs_kernel(consts, n_sites, ti_ref, tj_ref, meta_ref,
 
     srow = srow_ref[:]
     scol = scol_ref[:]
-    i0 = ti_ref[p] * TI
-    j0 = tj_ref[p] * TJ
-    t = _pair_chain(srow, scol, i0, j0, n_sites, consts)
+    t = _pair_chain(srow, scol, n_sites, consts)
 
     s3_ref[0] = v * ((1.0 - t['s_dd3']) * t['rr3c'] - t['bn1'])
     s5_ref[0] = v * (t['bn2'] - (1.0 - t['s_dd5']) * t['rr5c'])
@@ -202,9 +200,7 @@ def _pair_force_bs_kernel(consts, n_sites, ti_ref, tj_ref, meta_ref,
 
     srow = srow_ref[:]
     scol = scol_ref[:]
-    i0 = ti_ref[p] * TI
-    j0 = tj_ref[p] * TJ
-    t = _pair_chain(srow, scol, i0, j0, n_sites, consts, need_cc1=True)
+    t = _pair_chain(srow, scol, n_sites, consts, need_cc1=True)
     w = t['w'] * v
 
     qi = srow[:, _Q:_Q + 1]

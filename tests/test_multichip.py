@@ -123,6 +123,27 @@ def test_sharded_md_step(lattice):
                                np.asarray(out_ref.positions), atol=1e-9)
 
 
+def test_sharded_pallas_kernels_match_unsharded(lattice, monkeypatch):
+    """The fused Pallas direct-space kernels under a device mesh: row tiles
+    shard_map'd over 'dp' (elec_pallas.fixed_field_and_scf_factors_sharded /
+    direct_energy_force_pot_sharded; role analog of the CUDA interacting-tile
+    decomposition, CudaMBPolKernels.cpp:278-304). Interpret mode exercises
+    the same code path on the virtual CPU mesh; a real-TPU 1-device-mesh
+    check lives in tools/tpu_smoke.py."""
+    monkeypatch.setenv('MBPOL_ELEC_PALLAS', 'interpret')
+    sys_, pos = lattice
+    e_ref, f_ref, _, _ = _pot(sys_).energy_forces(pos)   # interpret kernels
+
+    mesh = M.make_mesh(8)
+    pot = _pot(sys_, mesh=mesh)
+    with mesh:
+        e, f, _, diag = pot.energy_forces(pos)
+        jax.block_until_ready(f)
+    assert bool(diag['converged'])
+    np.testing.assert_allclose(float(e), float(e_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=1e-8)
+
+
 def test_dryrun_entrypoint_inproc(monkeypatch):
     """The driver-contract function itself, run in-process on the virtual
     mesh (the driver invokes it via the subprocess wrapper)."""

@@ -103,6 +103,22 @@ def main():
     check('water256 PME total (block-sparse)',
           float(e_b) * units.KJ_PER_MOL_TO_KCAL_PER_MOL, -2270.88890, 20.0)
 
+    # shard_map'd dense Pallas kernels on real hardware: a 1-device mesh
+    # exercises the sharded wrappers + Mosaic lowering (multi-chip math is
+    # covered by the virtual-mesh tests); must be bit-identical to the
+    # unsharded kernels (measured dE = 0 on v5e)
+    from mbpol_openmm_plugin_tpu.parallel import mesh as M
+    mesh = M.make_mesh(1)
+    pot_s = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
+                                    target_epsilon=1e-4, nlist_skin=0.02,
+                                    max_iterations=200), mesh=mesh)
+    with mesh:
+        e_s, f_s, _, diag_s = pot_s.energy_forces(jnp.asarray(pos, jnp.float32))
+        jax.block_until_ready(f_s)
+    assert bool(diag_s['converged'])
+    check('water256 PME total (sharded kernels, 1-dev mesh)',
+          float(e_s) * units.KJ_PER_MOL_TO_KCAL_PER_MOL, -2270.88890, 20.0)
+
     if failures:
         print('\nFAILED:', failures)
         return 1
