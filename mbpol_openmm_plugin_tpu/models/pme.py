@@ -257,7 +257,9 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
     `site_perm_inv` (numpy int32 spatial sort of the sites) and
     `tile_pair_capacity` (static size of the active tile-pair list).
     O(N) memory at fixed density; requires the same eligibility as the
-    dense kernels (TPU f32, unsharded, static box).
+    dense kernels (TPU f32, static box). Under a mesh, row tiles split
+    over 'dp' with per-device local tile-pair lists
+    (`tile_pair_capacity_local`).
     """
     dtype = positions.dtype
     f_elec = units.ELECTRIC
@@ -284,8 +286,9 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
         # interpret-mode override for CPU testing of the kernels; it must
         # still respect the static-box eligibility
         use_kernels, interpret = True, True
-    sharded = use_kernels and mesh is not None
-    use_bs = block is not None and use_kernels and mesh is None
+    use_bs = block is not None and use_kernels
+    sharded = use_kernels and mesh is not None and not use_bs
+    bs_sharded = use_bs and mesh is not None
     bs_diag = {}
 
     if use_bs:
@@ -295,16 +298,34 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
         cap = int(block['tile_pair_capacity'])
         d16_inv = jnp.asarray(
             np.asarray(params.damping, np.float64) ** (-1.0 / 6.0), dtype)
-        srow = elec_pallas.pack_sites(
-            positions[perm], charges[perm], d16_inv[perm],
-            jnp.asarray(params.mol_index[perm]),
-            jnp.asarray((params.atom_type == 0)[perm]))
-        ti, tj, meta, n_act = bs.active_tile_pairs(
-            srow[:, :3], n, box, setup.cutoff, cap)
-        bs_diag['elec_tile_pairs'] = n_act
-        bs_diag['elec_tile_overflow'] = n_act > cap
-        ef_dir_s, s3b, s5b = bs.fixed_field_and_scf_blocks(
-            setup, th, srow, n, ti, tj, meta, interpret=interpret)
+        if bs_sharded:
+            # row tiles split over the mesh: per-device LOCAL tile-pair
+            # lists (ops/elec_pallas_bs.py sharded wrappers)
+            ndev = mesh.devices.size
+            np_s = elec_pallas.padded_for_mesh(n, ndev)
+            srow = elec_pallas.pack_sites(
+                positions[perm], charges[perm], d16_inv[perm],
+                jnp.asarray(params.mol_index[perm]),
+                jnp.asarray((params.atom_type == 0)[perm]), pad_to=np_s)
+            cap_l = int(block.get('tile_pair_capacity_local')
+                        or (cap * 13) // (10 * ndev) + 8)
+            ti, tj, meta, n_act_d = bs.active_tile_pairs_sharded(
+                srow[:, :3], n, box, setup.cutoff, cap_l, mesh)
+            bs_diag['elec_tile_pairs'] = jnp.sum(n_act_d)
+            bs_diag['elec_tile_overflow'] = jnp.any(n_act_d > cap_l)
+            ef_dir_s, s3b, s5b = bs.fixed_field_and_scf_blocks_sharded(
+                setup, th, srow, n, ti, tj, meta, mesh, interpret=interpret)
+        else:
+            srow = elec_pallas.pack_sites(
+                positions[perm], charges[perm], d16_inv[perm],
+                jnp.asarray(params.mol_index[perm]),
+                jnp.asarray((params.atom_type == 0)[perm]))
+            ti, tj, meta, n_act = bs.active_tile_pairs(
+                srow[:, :3], n, box, setup.cutoff, cap)
+            bs_diag['elec_tile_pairs'] = n_act
+            bs_diag['elec_tile_overflow'] = n_act > cap
+            ef_dir_s, s3b, s5b = bs.fixed_field_and_scf_blocks(
+                setup, th, srow, n, ti, tj, meta, interpret=interpret)
         s3_dir = s5_dir = delta = None
     elif use_kernels:
         d16_inv = jnp.asarray(
@@ -417,8 +438,14 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
 
         def dipole_field(mu):
             mp = jnp.zeros((np_, elec_pallas._NS), dtype).at[:n, :3].set(mu[perm])
-            f_s = bs.scf_dipole_field_bs(setup, th, srow, s3b, s5b, mp,
-                                         ti, tj, meta, n, interpret=interpret)
+            if bs_sharded:
+                f_s = bs.scf_dipole_field_bs_sharded(
+                    setup, th, srow, s3b, s5b, mp, ti, tj, meta, n, mesh,
+                    interpret=interpret)
+            else:
+                f_s = bs.scf_dipole_field_bs(setup, th, srow, s3b, s5b, mp,
+                                             ti, tj, meta, n,
+                                             interpret=interpret)
             return f_s[inv]
 
     scf = elec.make_scf(params)
@@ -448,8 +475,14 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
 
     # ---- direct-space energy/forces/potential ----
     if use_bs:
-        e_direct, force_s, pot_s = bs.direct_energy_force_pot_bs(
-            setup, th, srow, mu[perm], n, ti, tj, meta, interpret=interpret)
+        if bs_sharded:
+            e_direct, force_s, pot_s = bs.direct_energy_force_pot_bs_sharded(
+                setup, th, srow, mu[perm], n, ti, tj, meta, mesh,
+                interpret=interpret)
+        else:
+            e_direct, force_s, pot_s = bs.direct_energy_force_pot_bs(
+                setup, th, srow, mu[perm], n, ti, tj, meta,
+                interpret=interpret)
         forces = -f_elec * force_s[inv]
         pot = pot_s[inv]
     elif use_kernels and sharded:

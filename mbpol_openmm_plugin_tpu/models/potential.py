@@ -135,16 +135,17 @@ class MBPol:
             # materializes ~35 [N,N] tensors and OOMs far earlier. Under a
             # mesh the dense kernels run shard_map'd over row tiles
             # (elec_pallas.fixed_field_and_scf_factors_sharded), so the
-            # per-device O(N^2/ndev) memory stretches the dense limit; the
-            # block path is single-device only, so large meshed systems use
-            # the sharded sparse path.
+            # per-device O(N^2/ndev) memory stretches the dense limit;
+            # beyond it, the block-sparse tile path runs sharded too
+            # (per-device local tile-pair lists,
+            # elec_pallas_bs.active_tile_pairs_sharded).
             from mbpol_openmm_plugin_tpu.ops import elec_pallas
             import jax.numpy as _jnp
             pallas_ok = elec_pallas.use_pallas(_jnp.float32)
             ndev = 1 if mesh is None else mesh.devices.size
             dense_limit = (2560 * max(ndev // 2, 1)) if pallas_ok else 512
             if self.pme is not None and system.n_waters > dense_limit:
-                mode = ('block' if pallas_ok and mesh is None else 'sparse')
+                mode = 'block' if pallas_ok else 'sparse'
             else:
                 mode = 'dense'
         self.elec_mode = mode
@@ -200,12 +201,15 @@ class MBPol:
         self._energy_forces_warm = jax.jit(self._energy_forces_impl)
 
     # ------------------------------------------------------------------
-    def _set_block_perm(self, site_perm, cap):
+    def _set_block_perm(self, site_perm, cap, cap_local=None):
         site_perm = np.asarray(site_perm, np.int32)
         inv = np.empty_like(site_perm)
         inv[site_perm] = np.arange(len(site_perm), dtype=np.int32)
         self._block_info = dict(site_perm=site_perm, site_perm_inv=inv,
-                                tile_pair_capacity=int(cap))
+                                tile_pair_capacity=int(cap),
+                                tile_pair_capacity_local=(
+                                    None if cap_local is None
+                                    else int(cap_local)))
 
     def _neighbor_lists(self, positions, box=None):
         """Padded pair/triplet lists from current O positions (rebuilt every
@@ -404,7 +408,11 @@ class MBPol:
             # replica of ops/elec_pallas_bs.active_tile_pairs)
             n_sites = 4 * self.system.n_waters
             pos4 = np.asarray(pos).reshape(-1, 3)[site_perm]
-            npad = _bs._padded(n_sites)
+            if self.mesh is not None:
+                from mbpol_openmm_plugin_tpu.ops import elec_pallas as _ep
+                npad = _ep.padded_for_mesh(n_sites, self.mesh.devices.size)
+            else:
+                npad = _bs._padded(n_sites)
             p = np.zeros((npad, 3))
             p[:n_sites] = pos4 - np.floor(pos4 / box) * box
             T = npad // _bs.TI
@@ -421,7 +429,17 @@ class MBPol:
             act = np.all(gap <= self.config.cutoff, axis=-1) \
                 & has[:, None] & has[None, :]
             n_act = int(act.sum())
-            self._set_block_perm(site_perm, max(int(margin * n_act) + 8, 16))
+            cap_local = None
+            if self.mesh is not None:
+                # per-device local-list capacity: max row-slab count across
+                # devices (the serpentine sort keeps slabs balanced)
+                ndev = self.mesh.devices.size
+                ntl = T // ndev
+                per_dev = [int(act[d * ntl:(d + 1) * ntl].sum())
+                           for d in range(ndev)]
+                cap_local = max(int(margin * max(per_dev)) + 8, 16)
+            self._set_block_perm(site_perm, max(int(margin * n_act) + 8, 16),
+                                 cap_local=cap_local)
         if self.mesh is not None:
             from mbpol_openmm_plugin_tpu.parallel import mesh as M
             ndev = self.mesh.devices.size

@@ -63,14 +63,9 @@ def tile_pair_capacity(n_sites, box, cutoff, tile=TI, factor=1.3):
     return min(n_tiles * per, n_tiles * n_tiles)
 
 
-def active_tile_pairs(positions, n_sites, box, cutoff, capacity, tile=TI):
-    """Padded row-major list of active tile pairs from per-tile AABBs.
-
-    positions: [np_, 3] (sites sorted spatially; rows >= n_sites are padding).
-    Returns (ti [cap] int32, tj [cap] int32, meta [cap] int32 bitflags,
-    n_active). Conservative superset: a pair is active when the per-axis
-    minimum-image AABB gap is <= cutoff on every axis.
-    """
+def _tile_aabbs(positions, n_sites, box, tile):
+    """Per-tile wrapped-coordinate AABBs: (center [T,3], half [T,3],
+    has_sites [T])."""
     np_ = positions.shape[0]
     n_tiles = np_ // tile
     dtype = positions.dtype
@@ -87,12 +82,33 @@ def active_tile_pairs(positions, n_sites, box, cutoff, capacity, tile=TI):
     center = 0.5 * (mins + maxs)
     half = 0.5 * (maxs - mins)
     has_sites = jnp.any(v3[:, :, 0], axis=1)
+    return center, half, has_sites
 
-    dc = center[None, :, :] - center[:, None, :]
+
+def active_tile_pairs_rows(positions, n_sites, box, cutoff, capacity,
+                           row_lo, n_row_tiles, tile=TI):
+    """Active tile pairs for a contiguous row-tile slice.
+
+    Like `active_tile_pairs` but only for row tiles
+    [row_lo, row_lo + n_row_tiles) (row_lo may be traced, e.g. the shard
+    offset under shard_map); returned `ti` is LOCAL (0..n_row_tiles-1).
+    `tj` stays global. Columns always span all tiles, so a row's full
+    partner set lives in one slice - row accumulation needs no collective.
+    """
+    np_ = positions.shape[0]
+    n_tiles = np_ // tile
+    dtype = positions.dtype
+    b = jnp.asarray(box, dtype)
+    center, half, has_sites = _tile_aabbs(positions, n_sites, box, tile)
+    c_l = jax.lax.dynamic_slice_in_dim(center, row_lo, n_row_tiles, axis=0)
+    h_l = jax.lax.dynamic_slice_in_dim(half, row_lo, n_row_tiles, axis=0)
+    has_l = jax.lax.dynamic_slice_in_dim(has_sites, row_lo, n_row_tiles, 0)
+
+    dc = center[None, :, :] - c_l[:, None, :]                 # [ntl, T, 3]
     dc = dc - jnp.floor(dc / b + 0.5) * b
-    gap = jnp.abs(dc) - (half[None, :, :] + half[:, None, :])
+    gap = jnp.abs(dc) - (h_l[:, None, :] + half[None, :, :])
     act = jnp.all(gap <= cutoff, axis=-1)
-    act = act & has_sites[:, None] & has_sites[None, :]
+    act = act & has_l[:, None] & has_sites[None, :]
 
     flat = act.reshape(-1)
     sel = jnp.nonzero(flat, size=capacity, fill_value=0)[0]   # row-major
@@ -100,19 +116,31 @@ def active_tile_pairs(positions, n_sites, box, cutoff, capacity, tile=TI):
     valid = jnp.arange(capacity) < n_act
     ti = (sel // n_tiles).astype(jnp.int32)
     tj = (sel % n_tiles).astype(jnp.int32)
-    # padded entries: park on the last row tile so accumulation stays in the
-    # final (already initialized) block; their contribution is masked to 0
-    ti = jnp.where(valid, ti, n_tiles - 1)
+    # padded entries: park on the last local row tile; their contribution is
+    # masked to 0. If the parked entry happens to START that row (the tile is
+    # all padding, so its diagonal pair is inactive), the FIRST flag below
+    # zero-initializes a padding-rows-only output block - harmless.
+    ti = jnp.where(valid, ti, n_row_tiles - 1)
     tj = jnp.where(valid, tj, n_tiles - 1)
     first = jnp.concatenate([jnp.ones((1,), bool),
                              ti[1:] != ti[:-1]])
+    # first-in-row computed over the FINAL ti sequence (incl. parked padding)
     meta = (valid.astype(jnp.int32) * _VALID
-            + (first & (valid | (jnp.arange(capacity) == 0))).astype(jnp.int32) * 0)
-    # first-in-row must be computed over the FINAL ti sequence (incl. padding
-    # parked on the last row): a padded entry never starts a row because the
-    # diagonal pair (T-1, T-1) is always active and precedes it.
-    meta = meta + first.astype(jnp.int32) * _FIRST_IN_ROW
+            + first.astype(jnp.int32) * _FIRST_IN_ROW)
     return ti, tj, meta, n_act
+
+
+def active_tile_pairs(positions, n_sites, box, cutoff, capacity, tile=TI):
+    """Padded row-major list of active tile pairs from per-tile AABBs.
+
+    positions: [np_, 3] (sites sorted spatially; rows >= n_sites are padding).
+    Returns (ti [cap] int32, tj [cap] int32, meta [cap] int32 bitflags,
+    n_active). Conservative superset: a pair is active when the per-axis
+    minimum-image AABB gap is <= cutoff on every axis.
+    """
+    n_tiles = positions.shape[0] // tile
+    return active_tile_pairs_rows(positions, n_sites, box, cutoff, capacity,
+                                  0, n_tiles, tile=tile)
 
 
 # ----------------------------------------------------------------------
@@ -266,16 +294,18 @@ def _grid_spec(cap, in_specs, out_specs):
         in_specs=in_specs, out_specs=out_specs)
 
 
-def fixed_field_and_scf_blocks(setup, thole, srow, n_sites, ti, tj, meta,
-                               interpret=False):
-    """K1: (efield [n,3], s3 blocks [P,TI,TJ], s5 blocks [P,TI,TJ])."""
-    np_ = srow.shape[0]
+def _k1_call(setup, thole, srow, scol, n_sites, ti, tj, meta, interpret):
+    """Raw K1 over one row slice: (ef rows [rows, _NS], s3/s5 [cap,TI,TJ]).
+
+    srow: [rows, _NS] row-side slice (ti indexes blocks of it); scol:
+    [_NS, cols] FULL column side (tj indexes blocks of it)."""
+    rows = srow.shape[0]
     cap = ti.shape[0]
     consts = _consts(setup, thole)
     kern = functools.partial(_fixed_field_bs_kernel, consts, n_sites)
-    ef, s3, s5 = pl.pallas_call(
+    return pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((np_, _NS), srow.dtype),
+        out_shape=[jax.ShapeDtypeStruct((rows, _NS), srow.dtype),
                    jax.ShapeDtypeStruct((cap, TI, TJ), srow.dtype),
                    jax.ShapeDtypeStruct((cap, TI, TJ), srow.dtype)],
         grid_spec=_grid_spec(cap, [
@@ -290,22 +320,26 @@ def fixed_field_and_scf_blocks(setup, thole, srow, n_sites, ti, tj, meta,
         cost_estimate=pl.CostEstimate(
             flops=300 * cap * TI * TJ, transcendentals=8 * cap * TI * TJ,
             bytes_accessed=2 * cap * TI * TJ * 4),
-    )(ti, tj, meta, srow, srow.T)
+    )(ti, tj, meta, srow, scol)
+
+
+def fixed_field_and_scf_blocks(setup, thole, srow, n_sites, ti, tj, meta,
+                               interpret=False):
+    """K1: (efield [n,3], s3 blocks [P,TI,TJ], s5 blocks [P,TI,TJ])."""
+    ef, s3, s5 = _k1_call(setup, thole, srow, srow.T, n_sites, ti, tj, meta,
+                          interpret)
     return ef[:n_sites, :3], s3, s5
 
 
-def scf_dipole_field_bs(setup, thole, srow, s3, s5, mu_packed, ti, tj, meta,
-                        n_sites, interpret=False):
-    """K3: dipole field [n,3] from the stored SCF factor blocks.
-
-    mu_packed: [np_, 8] with mu in cols 0..2 (rows >= n_sites zero)."""
-    np_ = srow.shape[0]
+def _k3_call(setup, thole, srow, scol, s3, s5, mcol, ti, tj, meta, interpret):
+    """Raw K3 over one row slice: dipole-field rows [rows, _NS]."""
+    rows = srow.shape[0]
     cap = ti.shape[0]
     consts = _consts(setup, thole)
     kern = functools.partial(_scf_field_bs_kernel, consts)
-    f = pl.pallas_call(
+    return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((np_, _NS), srow.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, _NS), srow.dtype),
         grid_spec=_grid_spec(cap, [
             pl.BlockSpec((TI, _NS), lambda p, ti, tj, meta: (ti[p], 0)),
             pl.BlockSpec((_NS, TJ), lambda p, ti, tj, meta: (0, tj[p])),
@@ -318,21 +352,30 @@ def scf_dipole_field_bs(setup, thole, srow, s3, s5, mu_packed, ti, tj, meta,
             flops=2 * cap * TI * TJ * 3 + 10 * cap * TI * TJ,
             transcendentals=0,
             bytes_accessed=2 * cap * TI * TJ * 4),
-    )(ti, tj, meta, srow, srow.T, mu_packed.T, s3, s5)
+    )(ti, tj, meta, srow, scol, mcol, s3, s5)
+
+
+def scf_dipole_field_bs(setup, thole, srow, s3, s5, mu_packed, ti, tj, meta,
+                        n_sites, interpret=False):
+    """K3: dipole field [n,3] from the stored SCF factor blocks.
+
+    mu_packed: [np_, 8] with mu in cols 0..2 (rows >= n_sites zero)."""
+    f = _k3_call(setup, thole, srow, srow.T, s3, s5, mu_packed.T,
+                 ti, tj, meta, interpret)
     return f[:n_sites, :3]
 
 
-def direct_energy_force_pot_bs(setup, thole, srow, mu, n_sites, ti, tj, meta,
-                               interpret=False):
-    """K2: (e_direct scalar, force [n,3], pot [n])."""
-    np_ = srow.shape[0]
+def _k2_call(setup, thole, srow, scol, mrow, mcol, n_sites, ti, tj, meta,
+             interpret):
+    """Raw K2 over one row slice: out rows [rows, _NS]
+    (cols 0..2 force, 3 potential, 4 e_pair row sum)."""
+    rows = srow.shape[0]
     cap = ti.shape[0]
     consts = _consts(setup, thole)
-    mrow = jnp.zeros((np_, _NS), srow.dtype).at[:n_sites, :3].set(mu)
     kern = functools.partial(_pair_force_bs_kernel, consts, n_sites)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((np_, _NS), srow.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, _NS), srow.dtype),
         grid_spec=_grid_spec(cap, [
             pl.BlockSpec((TI, _NS), lambda p, ti, tj, meta: (ti[p], 0)),
             pl.BlockSpec((_NS, TJ), lambda p, ti, tj, meta: (0, tj[p])),
@@ -343,7 +386,124 @@ def direct_energy_force_pot_bs(setup, thole, srow, mu, n_sites, ti, tj, meta,
         cost_estimate=pl.CostEstimate(
             flops=400 * cap * TI * TJ, transcendentals=8 * cap * TI * TJ,
             bytes_accessed=2 * cap * TI * TJ * 4),
-    )(ti, tj, meta, srow, srow.T, mrow, mrow.T)
+    )(ti, tj, meta, srow, scol, mrow, mcol)
+
+
+def direct_energy_force_pot_bs(setup, thole, srow, mu, n_sites, ti, tj, meta,
+                               interpret=False):
+    """K2: (e_direct scalar, force [n,3], pot [n])."""
+    np_ = srow.shape[0]
+    mrow = jnp.zeros((np_, _NS), srow.dtype).at[:n_sites, :3].set(mu)
+    out = _k2_call(setup, thole, srow, srow.T, mrow, mrow.T, n_sites,
+                   ti, tj, meta, interpret)
+    e = jnp.sum(out[:n_sites, 4])
+    force = out[:n_sites, :3]
+    pot = out[:n_sites, 3]
+    return e, force, pot
+
+
+# ----------------------------------------------------------------------
+# Sharded wrappers (device mesh): row tiles split over the 'dp' axis
+# ----------------------------------------------------------------------
+# Each device owns a contiguous slice of row tiles and a LOCAL active
+# tile-pair list for those rows (columns span all tiles, so a row's full
+# partner set is device-local and accumulation needs no collective). With
+# the serpentine spatial sort, contiguous row ranges are spatial slabs, so
+# local pair counts stay balanced. Role analog of the CUDA interacting-tile
+# decomposition (CudaMBPolKernels.cpp:278-304), with row-tile blocks split
+# across chips over ICI instead of SMs. XLA inserts the collectives: the
+# replicated column/mu operands are all-gathered in, the row-sharded
+# outputs gathered where the caller slices them.
+
+def _mesh_rows(mesh, np_):
+    from jax.sharding import PartitionSpec as P
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    assert np_ % (TI * ndev) == 0, (np_, ndev)
+    return P, axis, ndev, np_ // ndev
+
+
+def active_tile_pairs_sharded(positions, n_sites, box, cutoff, cap_local,
+                              mesh, tile=TI):
+    """Per-device local active tile-pair lists under the mesh.
+
+    positions: [np_, 3] padded to a multiple of TI * n_devices (sites
+    sorted spatially). Returns (ti [ndev*cap_local] with LOCAL row-tile
+    indices, tj [ndev*cap_local] global, meta, n_act [ndev]) - the first
+    three sharded over 'dp' so each device holds exactly its slice.
+    """
+    P, axis, ndev, local_rows = _mesh_rows(mesh, positions.shape[0])
+    ntl = local_rows // tile
+
+    def f(pos_full):
+        d = jax.lax.axis_index(axis)
+        ti, tj, meta, n_act = active_tile_pairs_rows(
+            pos_full, n_sites, box, cutoff, cap_local, d * ntl, ntl,
+            tile=tile)
+        return ti, tj, meta, n_act[None]
+
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=P(None, None),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False)(positions)
+
+
+def fixed_field_and_scf_blocks_sharded(setup, thole, srow, n_sites,
+                                       ti, tj, meta, mesh, interpret=False):
+    """K1 under the mesh: (efield [n,3], s3/s5 blocks [ndev*cap_l,TI,TJ]
+    sharded on dim 0). ti/tj/meta from active_tile_pairs_sharded."""
+    P, axis, ndev, local_rows = _mesh_rows(mesh, srow.shape[0])
+
+    def f(srow_l, scol, ti_l, tj_l, meta_l):
+        return _k1_call(setup, thole, srow_l, scol, n_sites,
+                        ti_l, tj_l, meta_l, interpret)
+
+    ef, s3, s5 = jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis, None, None), P(axis, None, None)),
+        check_vma=False)(srow, srow.T, ti, tj, meta)
+    return ef[:n_sites, :3], s3, s5
+
+
+def scf_dipole_field_bs_sharded(setup, thole, srow, s3, s5, mu_packed,
+                                ti, tj, meta, n_sites, mesh, interpret=False):
+    """K3 under the mesh: dipole field [n,3]. mu_packed is replicated
+    [np_, _NS] (the whole dipole vector is tiny; each device reads all of
+    it as the column side)."""
+    P, axis, ndev, local_rows = _mesh_rows(mesh, srow.shape[0])
+
+    def f(srow_l, scol, mcol, s3_l, s5_l, ti_l, tj_l, meta_l):
+        return _k3_call(setup, thole, srow_l, scol, s3_l, s5_l, mcol,
+                        ti_l, tj_l, meta_l, interpret)
+
+    fout = jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(None, None),
+                  P(axis, None, None), P(axis, None, None),
+                  P(axis), P(axis), P(axis)),
+        out_specs=P(axis, None),
+        check_vma=False)(srow, srow.T, mu_packed.T, s3, s5, ti, tj, meta)
+    return fout[:n_sites, :3]
+
+
+def direct_energy_force_pot_bs_sharded(setup, thole, srow, mu, n_sites,
+                                       ti, tj, meta, mesh, interpret=False):
+    """K2 under the mesh: (e_direct scalar, force [n,3], pot [n])."""
+    np_ = srow.shape[0]
+    P, axis, ndev, local_rows = _mesh_rows(mesh, np_)
+    mrow = jnp.zeros((np_, _NS), srow.dtype).at[:n_sites, :3].set(mu)
+
+    def f(srow_l, scol, mrow_l, mcol, ti_l, tj_l, meta_l):
+        return _k2_call(setup, thole, srow_l, scol, mrow_l, mcol, n_sites,
+                        ti_l, tj_l, meta_l, interpret)
+
+    out = jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(axis, None), P(None, None),
+                  P(axis), P(axis), P(axis)),
+        out_specs=P(axis, None),
+        check_vma=False)(srow, srow.T, mrow, mrow.T, ti, tj, meta)
     e = jnp.sum(out[:n_sites, 4])
     force = out[:n_sites, :3]
     pot = out[:n_sites, 3]

@@ -144,6 +144,30 @@ def test_sharded_pallas_kernels_match_unsharded(lattice, monkeypatch):
     np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=1e-8)
 
 
+def test_sharded_block_sparse_matches_dense(lattice, monkeypatch):
+    """Block-sparse Pallas electrostatics under the mesh: per-device LOCAL
+    active tile-pair lists (elec_pallas_bs.active_tile_pairs_sharded), row
+    tiles split over 'dp'. Must equal the dense-kernel result; also
+    exercises devices whose row tiles are all padding (this lattice fills
+    only the first of 8 tiles)."""
+    monkeypatch.setenv('MBPOL_ELEC_PALLAS', 'interpret')
+    sys_, pos = lattice
+    e_ref, f_ref, _, _ = _pot(sys_).energy_forces(pos)   # dense kernels
+
+    mesh = M.make_mesh(8)
+    pot = _pot(sys_, mesh=mesh, electrostatics_mode='block')
+    pot.tune_capacities(pos)
+    assert pot._block_info['tile_pair_capacity_local'] is not None
+    with mesh:
+        e, f, _, diag = pot.energy_forces(pos)
+        jax.block_until_ready(f)
+    assert bool(diag['converged'])
+    assert not bool(diag['elec_tile_overflow'])
+    assert int(diag['elec_tile_pairs']) >= 1
+    np.testing.assert_allclose(float(e), float(e_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=1e-8)
+
+
 def test_dryrun_entrypoint_inproc(monkeypatch):
     """The driver-contract function itself, run in-process on the virtual
     mesh (the driver invokes it via the subprocess wrapper)."""

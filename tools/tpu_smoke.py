@@ -119,6 +119,23 @@ def main():
     check('water256 PME total (sharded kernels, 1-dev mesh)',
           float(e_s) * units.KJ_PER_MOL_TO_KCAL_PER_MOL, -2270.88890, 20.0)
 
+    # shard_map'd BLOCK-SPARSE kernels on real hardware (1-device mesh:
+    # sharded wrappers + per-device local tile-pair lists + Mosaic
+    # lowering; multi-chip math covered by the virtual-mesh tests)
+    pot_bs = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
+                                     target_epsilon=1e-4, nlist_skin=0.02,
+                                     max_iterations=200,
+                                     electrostatics_mode='block'), mesh=mesh)
+    pot_bs.tune_capacities(jnp.asarray(pos, jnp.float32))
+    with mesh:
+        e_bs, f_bs, _, diag_bs = pot_bs.energy_forces(
+            jnp.asarray(pos, jnp.float32))
+        jax.block_until_ready(f_bs)
+    assert bool(diag_bs['converged'])
+    assert not bool(diag_bs['elec_tile_overflow'])
+    check('water256 PME total (sharded block-sparse, 1-dev mesh)',
+          float(e_bs) * units.KJ_PER_MOL_TO_KCAL_PER_MOL, -2270.88890, 20.0)
+
     if failures:
         print('\nFAILED:', failures)
         return 1
