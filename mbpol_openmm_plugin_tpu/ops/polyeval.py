@@ -87,6 +87,44 @@ def load_quad(name):
 
 
 @functools.lru_cache(maxsize=None)
+def load_quad_eigen(name):
+    """EXACT low-rank eigen factorization of the quadratic form:
+    W = Q_r diag(lam_r) Q_r^T.
+
+    The fitted W matrices are rank-deficient by construction (the degree-4
+    fit space is smaller than the degree-<=2 product basis): measured
+    spectra drop from O(1e-5) to O(1e-16) x max|lam| at r=94/528 (poly2b)
+    and r=316/703 (poly3b), so E = sum_k lam_k (m2 . q_k)^2 is exact to
+    f64 roundoff with two B x r matmuls instead of the B x B matvec.
+
+    MEASURED VERDICT (r2, real water256 pair/triplet variables): NOT used
+    in production. At f32 the eigen basis concentrates the form's mass
+    into fewer, larger terms (|lam| up to ~1e3 amplifying the matmul
+    accumulation rounding of v), so the per-item error GROWS 6-7x over
+    the dense matvec (poly3b 0.148 vs 0.020 kcal/mol max per triplet,
+    poly2b 0.166 vs 0.028 per pair; gradients 3x worse) while the FLOP
+    saving is only 2r/B (0.90x for poly3b). Kept for tooling
+    (tools/rank_experiment.py) and as the recorded design decision.
+
+    Returns (F, Q_r [B, r] f64, lam_r [r] f64).
+    """
+    F, W = load_quad(name)
+    lam, Q = np.linalg.eigh(W.astype(np.float64))
+    amax = np.abs(lam).max()
+    keep = np.abs(lam) > amax * 1e-9
+    if (~keep).any():
+        resid = np.abs(lam[~keep]).max() / amax
+        # the discarded tail must be numerically zero - a genuine spectral
+        # cliff, not an approximation (guards future basis-file changes)
+        if resid > 1e-12:
+            raise ValueError(
+                f'{name}: eigen tail |lam|/max = {resid:.2e} is not a '
+                'clean rank cliff; refusing lossy truncation')
+    order = np.argsort(-np.abs(lam[keep]))
+    return F, Q[:, keep][:, order], lam[keep][order]
+
+
+@functools.lru_cache(maxsize=None)
 def _quad_factor_selectors(name):
     """One-hot factor-selection matrices A, B [V+1, B] such that
     m2 = (xa @ A) * (xa @ B) with xa = [x, 1]: every degree-<=2 basis
