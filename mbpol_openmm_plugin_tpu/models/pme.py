@@ -104,23 +104,78 @@ def _spline_matrices(setup: PmeSetup, positions, box=None):
     return tuple(out)
 
 
+# The separable formulation materializes [chunk, ny, nz] (spread) and
+# [chunk, 3, ny, nz] (readback) temporaries. Single-shot at water256
+# (~MBs) they are free; at 32k sites x 106^2 grid lines they are 1.5-4.4
+# GB each and OOM the chip, so above this element budget the site
+# dimension is chunked under an accumulating scan (spread) / lax.map
+# (readback). Budget 2^26 f32 elements = 256 MB per temporary.
+_SEP_CHUNK_ELEMS = 1 << 26
+
+
+def _sep_chunk(n, per_site_elems):
+    import math
+    if n * per_site_elems <= _SEP_CHUNK_ELEMS:
+        return n
+    c = max(_SEP_CHUNK_ELEMS // per_site_elems, 256)
+    return min(int(c), n)
+
+
+def _pad_rows(a, rows):
+    if a.shape[0] == rows:
+        return a
+    return jnp.zeros((rows,) + a.shape[1:], a.dtype).at[:a.shape[0]].set(a)
+
+
 def _spread_separable(setup, wx, sy, sz):
-    """grid[g,h,k] = sum_n wx[n,g] sy[n,h] sz[n,k] as two matmuls."""
+    """grid[g,h,k] = sum_n wx[n,g] sy[n,h] sz[n,k] as two matmuls
+    (site-chunked above the temp-memory budget; padded rows are zero in
+    wx, so they contribute nothing)."""
     nx, ny, nz = setup.grid
-    a = jnp.einsum('nh,nk->nhk', sy, sz).reshape(len(sy), ny * nz)
-    return (wx.T @ a).reshape(nx, ny, nz)
+    n = wx.shape[0]
+    c = _sep_chunk(n, ny * nz)
+    if c >= n:
+        a = jnp.einsum('nh,nk->nhk', sy, sz).reshape(n, ny * nz)
+        return (wx.T @ a).reshape(nx, ny, nz)
+    k = -(-n // c)
+    wx3 = _pad_rows(wx, k * c).reshape(k, c, nx)
+    sy3 = _pad_rows(sy, k * c).reshape(k, c, ny)
+    sz3 = _pad_rows(sz, k * c).reshape(k, c, nz)
+
+    def body(acc, args):
+        wxc, syc, szc = args
+        a = jnp.einsum('nh,nk->nhk', syc, szc).reshape(c, ny * nz)
+        return acc + (wxc.T @ a).reshape(nx, ny, nz), None
+
+    grid, _ = jax.lax.scan(body, jnp.zeros((nx, ny, nz), wx.dtype),
+                           (wx3, sy3, sz3))
+    return grid
 
 
 def _readback_separable(grid, Sx, Sy, Sz):
     """P[n,a,b,c] = sum_{ghk} grid[g,h,k] Sx[n,g,a] Sy[n,h,b] Sz[n,k,c],
-    a,b,c < 3 (value/1st/2nd fractional derivatives). Three batched matmuls."""
+    a,b,c < 3 (value/1st/2nd fractional derivatives). Three batched
+    matmuls, site-chunked above the temp-memory budget."""
     n = Sx.shape[0]
     nx, ny, nz = grid.shape
     g2 = grid.reshape(nx, ny * nz)
-    t1 = (Sx.transpose(0, 2, 1).reshape(n * _NDERIV, nx) @ g2)
-    t1 = t1.reshape(n, _NDERIV, ny, nz)
-    t2 = jnp.einsum('nahk,nhb->nabk', t1, Sy)
-    return jnp.einsum('nabk,nkc->nabc', t2, Sz)
+
+    def block(Sxc, Syc, Szc):
+        m = Sxc.shape[0]
+        t1 = (Sxc.transpose(0, 2, 1).reshape(m * _NDERIV, nx) @ g2)
+        t1 = t1.reshape(m, _NDERIV, ny, nz)
+        t2 = jnp.einsum('nahk,nhb->nabk', t1, Syc)
+        return jnp.einsum('nabk,nkc->nabc', t2, Szc)
+
+    c = _sep_chunk(n, _NDERIV * ny * nz)
+    if c >= n:
+        return block(Sx, Sy, Sz)
+    k = -(-n // c)
+    Sx3 = _pad_rows(Sx, k * c).reshape(k, c, nx, _NDERIV)
+    Sy3 = _pad_rows(Sy, k * c).reshape(k, c, ny, _NDERIV)
+    Sz3 = _pad_rows(Sz, k * c).reshape(k, c, nz, _NDERIV)
+    out = jax.lax.map(lambda a: block(*a), (Sx3, Sy3, Sz3))
+    return out.reshape(k * c, _NDERIV, _NDERIV, _NDERIV)[:n]
 
 
 @functools.lru_cache(maxsize=None)

@@ -50,3 +50,25 @@ def test_pme_small_box_virtual_site_golden():
     energy, forces, diag = P.pme_electrostatics(params, setup, pos)
     assert bool(diag['converged'])
     assert abs(float(energy) - (-66.7426)) / 66.74 < 1e-2, float(energy)
+
+
+def test_separable_chunked_matches_single_shot(monkeypatch):
+    """Above the temp-memory budget the separable spread/readback chunk
+    the site dimension under a scan/map; results must equal the
+    single-shot path exactly (f64) for non-divisible chunk counts too."""
+    rng = np.random.default_rng(7)
+    n, dims = 37, (8, 6, 10)
+    setup = P.PmeSetup(alpha=3.0, grid=dims, cutoff=0.9, box=(1.2, 1.1, 1.3))
+    pos = jnp.asarray(rng.uniform(0, 1.1, (n, 3)))
+    Sx, Sy, Sz = P._spline_matrices(setup, pos)
+    wx = jnp.asarray(rng.normal(size=(n, dims[0])))
+    ref_grid = P._spread_separable(setup, wx, Sy[..., 0], Sz[..., 0])
+    ref_back = P._readback_separable(ref_grid, Sx, Sy, Sz)
+
+    monkeypatch.setattr(P, '_SEP_CHUNK_ELEMS', 1)   # force max chunking
+    grid_c = P._spread_separable(setup, wx, Sy[..., 0], Sz[..., 0])
+    back_c = P._readback_separable(ref_grid, Sx, Sy, Sz)
+    np.testing.assert_allclose(np.asarray(grid_c), np.asarray(ref_grid),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(back_c), np.asarray(ref_back),
+                               atol=1e-12)
