@@ -1,0 +1,267 @@
+"""Thermostatted ring-polymer MD (PIMD / T-RPMD), TPU-native.
+
+The reference cites path-integral MD as the method MB-pol is used with
+(README.md:13) but ships no PIMD machinery - it delegates to external
+drivers. Here the framework provides it natively, built from the pieces
+the TPU design already has: the bead-replicated potential is a `vmap`
+over a leading bead axis (md/replicas.py), the exact free ring-polymer
+evolution is a pair of static [n, n] normal-mode matmuls (MXU-friendly,
+no FFT needed at PIMD bead counts), and the whole step is a pure
+function on an `MDState` pytree (bead-leading shapes) that runs under
+`lax.scan` like the classical integrators.
+
+Algorithm: PILE thermostat (Ceriotti, Parrinello, Markland, Manolopoulos,
+J. Chem. Phys. 133, 124104 (2010)) in the BAOAB splitting:
+half force kick -> half exact free-RP evolution (normal modes) -> full
+OU thermostat step (mode-matched friction gamma_k = 2 omega_k; centroid
+gamma_0 = 1/tau0, or 0 for Hamiltonian/NVE RPMD) -> half free-RP
+evolution -> half force kick. One potential evaluation per step.
+
+Conventions: the ring-polymer Hamiltonian
+  H_n = sum_i p_i^2/2m + sum_i 1/2 m omega_n^2 (q_i - q_{i+1})^2 + sum_i V(q_i)
+is sampled at beta_n = beta/n (mode momenta at variance m * n*kB*T),
+with omega_n = n*kB*T/hbar. Units: nm, ps, amu, kJ/mol (OpenMM internal,
+matching md/integrators.py); hbar = 0.063508 kJ/mol*ps.
+
+Virtual M sites carry zero mass: their momenta stay exactly zero (zero
+force rows from the potential, inv_m = 0 in the drift), and their
+positions are recomputed by the potential each evaluation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mbpol_openmm_plugin_tpu.md.integrators import MDState, _inv_masses
+from mbpol_openmm_plugin_tpu.system import System
+from mbpol_openmm_plugin_tpu.utils import units
+
+# hbar * N_A in kJ/mol * ps (CODATA hbar = 1.054571817e-34 J s):
+# * N_A (-> J s/mol), / 1000 (-> kJ), / 1e-12 (s -> ps) = 0.0635077993
+HBAR_KJMOL_PS = 1.054571817e-34 * 6.02214076e23 / 1000.0 / 1e-12
+
+
+def normal_mode_matrix(n_beads):
+    """Orthonormal cyclic normal-mode transform C [n, n]: P_k = C @ p.
+
+    Row 0 is the centroid, rows 1..n/2 cosine modes (incl. the Nyquist row
+    for even n), the rest sine modes. C @ C.T = I exactly.
+    """
+    n = n_beads
+    j = np.arange(n)
+    C = np.zeros((n, n))
+    C[0] = np.sqrt(1.0 / n)
+    for k in range(1, n // 2 + 1):
+        if 2 * k == n:
+            C[k] = np.sqrt(1.0 / n) * (-1.0) ** j
+        else:
+            C[k] = np.sqrt(2.0 / n) * np.cos(2.0 * np.pi * k * j / n)
+    for k in range(n // 2 + 1, n):
+        C[k] = np.sqrt(2.0 / n) * np.sin(2.0 * np.pi * (n - k) * j / n)
+    return C
+
+
+def normal_mode_frequencies(n_beads, temperature_k):
+    """omega_k = 2 omega_n sin(pi k~ / n) [1/ps], ordered to match
+    normal_mode_matrix rows; omega_0 = 0 (centroid)."""
+    kT = units.BOLTZMANN_KJ_MOL_K * temperature_k
+    omega_n = n_beads * kT / HBAR_KJMOL_PS
+    k = np.arange(n_beads)
+    k_t = np.minimum(k, n_beads - k)
+    return 2.0 * omega_n * np.sin(np.pi * k_t / n_beads)
+
+
+def spring_energy(system: System, positions, temperature_k):
+    """Ring-polymer spring energy sum_i 1/2 m omega_n^2 |q_i - q_{i+1}|^2
+    (cyclic, kJ/mol). positions: [n_beads, natoms, 3]."""
+    n = positions.shape[0]
+    kT = units.BOLTZMANN_KJ_MOL_K * temperature_k
+    omega_n = n * kT / HBAR_KJMOL_PS
+    m = jnp.asarray(np.asarray(system.masses), positions.dtype)[None, :, None]
+    d = positions - jnp.roll(positions, -1, axis=0)
+    return 0.5 * omega_n ** 2 * jnp.sum(m * d * d)
+
+
+def kinetic_energy_virial(system: System, positions, forces, temperature_k):
+    """Centroid-virial quantum kinetic-energy estimator (kJ/mol):
+    KE = 3N/(2 beta) - 1/(2n) sum_i (q_i - q_c) . F_i."""
+    n = positions.shape[0]
+    kT = units.BOLTZMANN_KJ_MOL_K * temperature_k
+    n_real = int(np.sum(np.asarray(system.masses) > 0))
+    qc = jnp.mean(positions, axis=0, keepdims=True)
+    return (1.5 * n_real * kT
+            - 0.5 / n * jnp.sum((positions - qc) * forces))
+
+
+def kinetic_energy_primitive(system: System, positions, temperature_k):
+    """Primitive quantum kinetic-energy estimator (kJ/mol):
+    KE = 3 N n/(2 beta) - E_spring."""
+    n = positions.shape[0]
+    kT = units.BOLTZMANN_KJ_MOL_K * temperature_k
+    n_real = int(np.sum(np.asarray(system.masses) > 0))
+    return 1.5 * n_real * n * kT - spring_energy(system, positions,
+                                                 temperature_k)
+
+
+def ring_polymer_hamiltonian(system: System, state: MDState, temperature_k):
+    """Conserved quantity of the gamma = 0 (NVE) RPMD flow:
+    sum_beads (classical KE + V) + E_spring."""
+    m = jnp.asarray(np.asarray(system.masses),
+                    state.velocities.dtype)[None, :, None]
+    ke = 0.5 * jnp.sum(m * state.velocities * state.velocities)
+    return (ke + spring_energy(system, state.positions, temperature_k)
+            + jnp.sum(state.potential_energy))
+
+
+def initial_state(system: System, positions, n_beads, temperature_k, key,
+                  box=None, spread=0.0):
+    """Bead-leading MDState: beads start at `positions` (optionally with a
+    small Gaussian spread on real atoms) and zero velocities (the PILE
+    thermostat equilibrates the modes)."""
+    dtype = positions.dtype
+    pos = jnp.broadcast_to(positions[None], (n_beads,) + positions.shape)
+    key, k1 = jax.random.split(key)
+    if spread > 0.0:
+        real = (np.asarray(system.masses) > 0)[None, :, None]
+        pos = pos + jnp.where(
+            real, spread * jax.random.normal(k1, pos.shape, dtype), 0.0)
+    return MDState(
+        positions=pos,
+        velocities=jnp.zeros_like(pos),
+        forces=jnp.zeros_like(pos),
+        potential_energy=jnp.zeros((n_beads,), dtype),
+        box=jnp.asarray(system.box if box is None else box, dtype)
+        if (system.periodic or box is not None) else jnp.zeros((3,), dtype),
+        step=jnp.zeros((), jnp.int32),
+        rng=key)
+
+
+def make_rpmd_step(system: System, energy_forces_fn, n_beads, dt,
+                   temperature_k, tau0=None, thermostat='pile', mesh=None):
+    """Returns a jittable `step(state) -> state` doing one BAOAB step.
+
+    energy_forces_fn: positions [natoms, 3] -> (E, F) for ONE bead; it is
+    vmapped over the bead axis here (each bead's SCF converges
+    independently; md/replicas.py semantics).
+    tau0: centroid thermostat time constant in ps (PILE-L). None or 0 ->
+    gamma_0 = 0: the centroid is Hamiltonian (T-RPMD).
+    thermostat: 'pile' (internal modes at gamma_k = 2 omega_k) for
+    sampling, or 'none' (every gamma = 0, the O step is the identity) for
+    Hamiltonian/NVE RPMD dynamics - that flow conserves
+    ring_polymer_hamiltonian.
+    mesh: optional `jax.sharding.Mesh` with a 'dp' axis. Beads are
+    embarrassingly parallel in the potential evaluation (the dominant
+    cost), so the bead axis is sharded over 'dp': each chip evaluates
+    n/n_chips beads' full MB-pol forces; the tiny [n, n] normal-mode
+    matmuls contract the sharded axis and XLA inserts the ICI
+    collectives. The trajectory is bitwise independent of the mesh
+    (noise is drawn from the replicated key at full bead shape).
+    """
+    n = int(n_beads)
+    if mesh is not None:
+        n_dev = mesh.shape['dp']
+        if n % n_dev:
+            raise ValueError(
+                f'n_beads={n} not divisible by mesh dp={n_dev}')
+        from jax.sharding import NamedSharding, PartitionSpec
+        bead_sharding = NamedSharding(mesh, PartitionSpec('dp'))
+
+        def shard_beads(x):
+            return jax.lax.with_sharding_constraint(x, bead_sharding)
+    else:
+        def shard_beads(x):
+            return x
+    kT = units.BOLTZMANN_KJ_MOL_K * temperature_k
+    C = normal_mode_matrix(n)
+    omega = normal_mode_frequencies(n, temperature_k)
+
+    if thermostat not in ('pile', 'none'):
+        raise ValueError(thermostat)
+    if thermostat == 'none':
+        gamma = np.zeros(n)
+    else:
+        gamma = 2.0 * omega
+        gamma[0] = (1.0 / tau0) if tau0 else 0.0
+    c1 = np.exp(-gamma * dt)
+    c2 = np.sqrt(np.maximum(1.0 - c1 * c1, 0.0))
+
+    # exact free-RP half-step: theta = omega dt/2
+    th = omega * (0.5 * dt)
+    cos_h = np.cos(th)
+    # sin(theta)/omega with the omega -> 0 limit dt/2 (centroid drift)
+    sin_over_omega = np.where(omega > 0.0,
+                              np.sin(th) / np.where(omega > 0.0, omega, 1.0),
+                              0.5 * dt)
+    msin = np.where(omega > 0.0, omega * np.sin(th), 0.0)
+
+    masses = np.asarray(system.masses)
+    batched_ef = jax.vmap(energy_forces_fn)
+
+    def step(state: MDState) -> MDState:
+        dtype = state.positions.dtype
+        m = jnp.asarray(masses, dtype)[None, :, None]
+        inv_m = _inv_masses(system, dtype)[None]          # [1, natoms, 1]
+        Cj = jnp.asarray(C, dtype)
+        c1j = jnp.asarray(c1, dtype)[:, None, None]
+        c2j = jnp.asarray(c2, dtype)[:, None, None]
+        cosj = jnp.asarray(cos_h, dtype)[:, None, None]
+        soj = jnp.asarray(sin_over_omega, dtype)[:, None, None]
+        msj = jnp.asarray(msin, dtype)[:, None, None]
+
+        p = shard_beads(state.velocities) * m
+        # B: half kick (M sites have zero force rows -> p stays 0)
+        p = p + 0.5 * dt * shard_beads(state.forces)
+
+        # to normal modes
+        P = jnp.tensordot(Cj, p, axes=(1, 0))
+        Q = jnp.tensordot(Cj, state.positions, axes=(1, 0))
+
+        def a_half(P, Q):
+            # exact free ring polymer: rotation in (P, m omega Q) per mode
+            # (sin_over_omega carries the omega -> 0 centroid drift limit);
+            # massless M sites are frozen - the potential replaces them
+            Pn = jnp.where(m > 0, cosj * P - m * msj * Q, P)
+            Qn = jnp.where(m > 0, soj * inv_m * P + cosj * Q, Q)
+            return Pn, Qn
+
+        P, Q = a_half(P, Q)
+
+        # O: OU thermostat on mode momenta, variance m * n kT (beta_n)
+        key, knoise = jax.random.split(state.rng)
+        xi = jax.random.normal(knoise, P.shape, dtype)
+        sigma = jnp.sqrt(m * (n * kT))
+        P = c1j * P + jnp.where(m > 0, c2j * sigma * xi, 0.0)
+
+        P, Q = a_half(P, Q)
+
+        # back to beads (bead-sharded over the mesh: the per-bead force
+        # evaluation below is the dominant cost and fully parallel)
+        p = shard_beads(jnp.tensordot(Cj.T, P, axes=(1, 0)))
+        q = shard_beads(jnp.tensordot(Cj.T, Q, axes=(1, 0)))
+
+        e, f = batched_ef(q)
+        f = shard_beads(f)
+        p = p + 0.5 * dt * f
+        return dataclasses.replace(
+            state, positions=q, velocities=p * inv_m, forces=f,
+            potential_energy=e, step=state.step + 1, rng=key)
+
+    return step
+
+
+def make_rpmd_potential_step(potential, n_beads, dt, temperature_k,
+                             tau0=None, thermostat='pile', mesh=None):
+    """RPMD step over an `MBPol` potential (bead forces via the full jitted
+    evaluation; returns the jittable step fn). With `mesh`, beads are
+    sharded over the 'dp' axis (see make_rpmd_step)."""
+
+    def ef(pos):
+        e, f, parts, diag = potential._energy_forces_impl(pos)
+        return e, f
+
+    return make_rpmd_step(potential.system, ef, n_beads, dt, temperature_k,
+                          tau0=tau0, thermostat=thermostat, mesh=mesh)
