@@ -38,6 +38,9 @@ from mbpol_openmm_plugin_tpu.utils import units
 
 N_BEADS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 N_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+# optional ring-polymer contraction (odd; expensive intermolecular terms
+# run on this many beads, the monomer term on all beads)
+N_CONTRACT = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 T = 150.0
 DT = 1e-4          # ps (0.1 fs; OH stretch ~ 10 fs period)
 
@@ -47,7 +50,11 @@ pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
 pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff',
                               target_epsilon=1e-5))
 
-step = rpmd.make_rpmd_potential_step(pot, N_BEADS, DT, T, tau0=0.05)
+if N_CONTRACT:
+    step = rpmd.make_rpmd_contracted_potential_step(pot, N_BEADS, N_CONTRACT,
+                                                    DT, T, tau0=0.05)
+else:
+    step = rpmd.make_rpmd_potential_step(pot, N_BEADS, DT, T, tau0=0.05)
 state = rpmd.initial_state(sys_, pos, N_BEADS, T, jax.random.PRNGKey(0),
                            spread=0.002)
 e, f, _, _ = pot._energy_forces_impl(state.positions[0])

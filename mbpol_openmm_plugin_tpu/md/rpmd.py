@@ -75,6 +75,60 @@ def normal_mode_frequencies(n_beads, temperature_k):
     return 2.0 * omega_n * np.sin(np.pi * k_t / n_beads)
 
 
+def contraction_matrix(n_beads, n_contracted):
+    """Ring-polymer contraction transform T [n_c, n] (Markland &
+    Manolopoulos, J. Chem. Phys. 129, 024105 (2008)): truncate the
+    normal-mode expansion to the n_c lowest-frequency modes and resample
+    onto an n_c-bead ring, T = sqrt(n_c/n) C_c^T S C with S matching
+    (k, cos/sin) rows. Exact identity at n_c == n; otherwise n_c must be
+    odd so the kept mode set is unambiguous (no Nyquist splitting).
+
+    Properties (tested): T @ (all-equal beads) = the same point (row sums
+    n_c/n x n / n_c ... i.e. centroid preserved), and potentials linear
+    in position are contracted exactly.
+    """
+    n, nc = int(n_beads), int(n_contracted)
+    if nc == n:
+        return np.eye(n)
+    if not (1 <= nc < n) or nc % 2 == 0:
+        raise ValueError(
+            f'n_contracted={nc} must be odd and in [1, n_beads={n}]')
+    C = normal_mode_matrix(n)
+    Cc = normal_mode_matrix(nc)
+    rows_c, rows_full = [0], [0]
+    for k in range(1, nc // 2 + 1):
+        rows_c += [k, nc - k]          # cos k, sin k of the small ring
+        rows_full += [k, n - k]        # cos k, sin k of the full ring
+    return np.sqrt(nc / n) * (Cc[rows_c].T @ C[rows_full])
+
+
+def contracted_energy_forces(ef_inter, ef_intra, n_beads, n_contracted):
+    """RPC evaluation: returns batched ef(q [n, natoms, 3]) -> (e [n],
+    f [n, natoms, 3]) where the expensive intermolecular potential is
+    evaluated on n_c contracted beads, E_inter = (n/n_c) sum_a V(q'_a),
+    and the cheap intramolecular potential on all n beads. Forces on the
+    full beads via the transpose transform, F += (n/n_c) T^T F'.
+    The intermolecular energy is distributed evenly over the per-bead
+    energy vector so sum(e) is the exact RPC potential (the conserved
+    ring_polymer_hamiltonian uses the sum)."""
+    n, nc = int(n_beads), int(n_contracted)
+    T = contraction_matrix(n, nc)
+    scale = n / nc
+    b_inter = jax.vmap(ef_inter)
+    b_intra = jax.vmap(ef_intra)
+
+    def ef(q):
+        Tj = jnp.asarray(T, q.dtype)
+        qc = jnp.tensordot(Tj, q, axes=(1, 0))
+        e_c, f_c = b_inter(qc)
+        e_i, f_i = b_intra(q)
+        f = f_i + scale * jnp.tensordot(Tj.T, f_c, axes=(1, 0))
+        e = e_i + (scale / n) * jnp.sum(e_c)
+        return e, f
+
+    return ef
+
+
 def spring_energy(system: System, positions, temperature_k):
     """Ring-polymer spring energy sum_i 1/2 m omega_n^2 |q_i - q_{i+1}|^2
     (cyclic, kJ/mol). positions: [n_beads, natoms, 3]."""
@@ -141,7 +195,8 @@ def initial_state(system: System, positions, n_beads, temperature_k, key,
 
 
 def make_rpmd_step(system: System, energy_forces_fn, n_beads, dt,
-                   temperature_k, tau0=None, thermostat='pile', mesh=None):
+                   temperature_k, tau0=None, thermostat='pile', mesh=None,
+                   batched=False):
     """Returns a jittable `step(state) -> state` doing one BAOAB step.
 
     energy_forces_fn: positions [natoms, 3] -> (E, F) for ONE bead; it is
@@ -199,7 +254,9 @@ def make_rpmd_step(system: System, energy_forces_fn, n_beads, dt,
     msin = np.where(omega > 0.0, omega * np.sin(th), 0.0)
 
     masses = np.asarray(system.masses)
-    batched_ef = jax.vmap(energy_forces_fn)
+    # batched=True: energy_forces_fn already maps [n, natoms, 3] ->
+    # ([n], [n, natoms, 3]) (e.g. contracted_energy_forces)
+    batched_ef = energy_forces_fn if batched else jax.vmap(energy_forces_fn)
 
     def step(state: MDState) -> MDState:
         dtype = state.positions.dtype
@@ -265,3 +322,50 @@ def make_rpmd_potential_step(potential, n_beads, dt, temperature_k,
 
     return make_rpmd_step(potential.system, ef, n_beads, dt, temperature_k,
                           tau0=tau0, thermostat=thermostat, mesh=mesh)
+
+
+def mbpol_intra_inter_split(potential):
+    """Splits an `MBPol` potential for ring-polymer contraction:
+    intra = the one-body Partridge-Schwenke monomer term (fast-varying,
+    evaluated on every bead), inter = everything else (2b/3b PIPs,
+    dispersion, polarization/PME - the expensive part, evaluated on the
+    contracted beads). Returns (ef_intra, ef_inter), each
+    positions [natoms, 3] -> (E, F)."""
+    import dataclasses as _dc
+
+    from mbpol_openmm_plugin_tpu.models.one_body import one_body_energy
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol
+    from mbpol_openmm_plugin_tpu.system import water_positions
+
+    sys_ = potential.system
+    cfg = potential.config
+    inter_terms = tuple(t for t in cfg.terms if t != 'one_body')
+    pot_inter = MBPol(sys_, _dc.replace(cfg, terms=inter_terms),
+                      mesh=potential.mesh)
+
+    def e_intra(p):
+        return jnp.sum(one_body_energy(water_positions(sys_, p)))
+
+    def ef_intra(p):
+        e, g = jax.value_and_grad(e_intra)(p)
+        return e, -g
+
+    def ef_inter(p):
+        e, f, parts, diag = pot_inter._energy_forces_impl(p)
+        return e, f
+
+    return ef_intra, ef_inter
+
+
+def make_rpmd_contracted_potential_step(potential, n_beads, n_contracted,
+                                        dt, temperature_k, tau0=None,
+                                        thermostat='pile'):
+    """RPMD step with ring-polymer contraction over an `MBPol` potential:
+    the one-body monomer term runs on all n beads, the intermolecular
+    terms (PIPs, dispersion, polarization) on n_contracted beads - an
+    ~n/n_c cost cut for the dominant terms at PIMD bead counts.
+    n_contracted must be odd (or equal n_beads, which is exact)."""
+    ef_intra, ef_inter = mbpol_intra_inter_split(potential)
+    ef = contracted_energy_forces(ef_inter, ef_intra, n_beads, n_contracted)
+    return make_rpmd_step(potential.system, ef, n_beads, dt, temperature_k,
+                          tau0=tau0, thermostat=thermostat, batched=True)

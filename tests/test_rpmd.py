@@ -166,6 +166,89 @@ def test_rpmd_harmonic_quantum_kinetic_energy():
     assert np.isfinite(ke_prim)
 
 
+@pytest.mark.parametrize('n,nc', [(8, 1), (8, 3), (8, 5), (16, 7), (9, 3)])
+def test_contraction_matrix_properties(n, nc):
+    T = rpmd.contraction_matrix(n, nc)
+    assert T.shape == (nc, n)
+    # all-equal beads map to the same point (row sums 1)
+    np.testing.assert_allclose(T.sum(axis=1), np.ones(nc), atol=1e-12)
+    # identity at nc == n
+    np.testing.assert_allclose(rpmd.contraction_matrix(n, n), np.eye(n))
+    # linear potentials contract exactly: (n/nc) sum_a g.q'_a = sum_j g.q_j
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(n, 5))
+    g = rng.normal(size=(5,))
+    lhs = (n / nc) * (T @ q @ g).sum()
+    np.testing.assert_allclose(lhs, (q @ g).sum(), rtol=1e-12)
+
+
+def test_contraction_matrix_rejects_even():
+    with pytest.raises(ValueError):
+        rpmd.contraction_matrix(8, 4)
+    with pytest.raises(ValueError):
+        rpmd.contraction_matrix(8, 9)
+
+
+def test_contracted_split_exact_at_full_beads():
+    """nc == n: the intra/inter split evaluation must reproduce the full
+    MB-pol potential exactly (total energy and per-bead forces) - this
+    validates that one_body + (terms minus one_body) == all terms."""
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    fix = fixtures.load('water3_cluster')
+    sys_ = System.waters(3)
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff',
+                                  target_epsilon=1e-7))
+    n = 3
+    q = jnp.stack([pos, pos + 0.001, pos - 0.0005])
+
+    ef_intra, ef_inter = rpmd.mbpol_intra_inter_split(pot)
+    ef = rpmd.contracted_energy_forces(ef_inter, ef_intra, n, n)
+    e_rpc, f_rpc = jax.jit(ef)(q)
+
+    def full(p):
+        e, f, parts, diag = pot._energy_forces_impl(p)
+        return e, f
+    e_ref, f_ref = jax.jit(jax.vmap(full))(q)
+
+    np.testing.assert_allclose(float(jnp.sum(e_rpc)), float(jnp.sum(e_ref)),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(f_rpc), np.asarray(f_ref),
+                               atol=1e-8)
+
+
+@pytest.mark.slow
+def test_rpmd_contracted_water3_runs():
+    """RPC with nc=1 (centroid intermolecular forces, per-bead monomer
+    forces): short water3 trajectory stays finite and bounded."""
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    fix = fixtures.load('water3_cluster')
+    sys_ = System.waters(3)
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff',
+                                  target_epsilon=1e-7))
+    T, n_beads = 300.0, 4
+    step = rpmd.make_rpmd_contracted_potential_step(pot, n_beads, 1, 2e-5,
+                                                    T, tau0=0.05)
+    state = rpmd.initial_state(sys_, pos, n_beads, T, jax.random.PRNGKey(5),
+                               spread=0.001)
+    ef_intra, ef_inter = rpmd.mbpol_intra_inter_split(pot)
+    ef = rpmd.contracted_energy_forces(ef_inter, ef_intra, n_beads, 1)
+    e0, f0 = ef(state.positions)
+    import dataclasses
+    state = dataclasses.replace(state, forces=f0, potential_energy=e0)
+
+    run = jax.jit(lambda s: jax.lax.fori_loop(0, 20, lambda i, c: step(c), s))
+    out = jax.block_until_ready(run(state))
+    assert bool(jnp.all(jnp.isfinite(out.positions)))
+    spread = jnp.max(jnp.abs(out.positions - out.positions.mean(axis=0)))
+    assert float(spread) < 0.05
+
+
 def test_rpmd_bead_sharding_matches_unsharded():
     """Bead axis sharded over the 8-device virtual mesh: the trajectory
     must match the unsharded one (same PRNG stream; collectives only
