@@ -342,6 +342,13 @@ def mbpol_intra_inter_split(potential):
     inter_terms = tuple(t for t in cfg.terms if t != 'one_body')
     pot_inter = MBPol(sys_, _dc.replace(cfg, terms=inter_terms),
                       mesh=potential.mesh)
+    # inherit the parent's tuned padded-list capacities (tune_capacities
+    # state; a fresh MBPol would fall back to the conservative analytic
+    # bounds and waste 2-3x on oversized pair/triplet batches)
+    for attr in ('pair_cap', 'trip_cap', 'pair_eval_cap', 'trip_eval_cap',
+                 'elec_pair_cap', '_block_info'):
+        if hasattr(potential, attr):
+            setattr(pot_inter, attr, getattr(potential, attr))
 
     def e_intra(p):
         return jnp.sum(one_body_energy(water_positions(sys_, p)))
@@ -369,3 +376,110 @@ def make_rpmd_contracted_potential_step(potential, n_beads, n_contracted,
     ef = contracted_energy_forces(ef_inter, ef_intra, n_beads, n_contracted)
     return make_rpmd_step(potential.system, ef, n_beads, dt, temperature_k,
                           tau0=tau0, thermostat=thermostat, batched=True)
+
+
+class PIMDSimulation:
+    """PIMD driver over an `MBPol` potential, mirroring `md.Simulation`'s
+    surface (chunked on-device stepping, health checks, checkpointing) for
+    ring-polymer dynamics. Reported observables are the quantum estimators:
+    bead-mean potential <V>, centroid-virial kinetic energy, and their sum
+    (the quantum total-energy estimator <E> = KE_cv + <V>)."""
+
+    def __init__(self, potential, n_beads, dt=1e-4, temperature=300.0,
+                 tau0=0.1, thermostat='pile', contraction=None, seed=0,
+                 mesh=None):
+        self.potential = potential
+        self.system = potential.system
+        self.n_beads = int(n_beads)
+        self.dt = float(dt)
+        self.temperature = float(temperature)
+        self.contraction = contraction
+        self._key = jax.random.PRNGKey(seed)
+        if contraction:
+            self._step = make_rpmd_contracted_potential_step(
+                potential, n_beads, contraction, dt, temperature,
+                tau0=tau0, thermostat=thermostat)
+            ef_intra, ef_inter = mbpol_intra_inter_split(potential)
+            self._ef_all = contracted_energy_forces(
+                ef_inter, ef_intra, n_beads, contraction)
+        else:
+            self._step = make_rpmd_potential_step(
+                potential, n_beads, dt, temperature, tau0=tau0,
+                thermostat=thermostat, mesh=mesh)
+
+            def ef_all(q):
+                def one(p):
+                    e, f, parts, diag = potential._energy_forces_impl(p)
+                    return e, f
+                return jax.vmap(one)(q)
+            self._ef_all = ef_all
+        self.state = None
+        self._chunk = jax.jit(self._chunk_impl, static_argnames=('n',))
+
+    def set_positions(self, positions, box=None, spread=0.0):
+        pos = jnp.asarray(positions)
+        self.state = initial_state(self.system, pos, self.n_beads,
+                                   self.temperature, self._key, box=box,
+                                   spread=spread)
+        e, f = jax.jit(self._ef_all)(self.state.positions)
+        self.state = dataclasses.replace(self.state, forces=f,
+                                         potential_energy=e)
+
+    def _chunk_impl(self, state, n):
+        def body(s, _):
+            s = self._step(s)
+            ke = kinetic_energy_virial(self.system, s.positions, s.forces,
+                                       self.temperature)
+            return s, (jnp.sum(s.potential_energy), ke)
+
+        return jax.lax.scan(body, state, None, length=n)
+
+    def step(self, n_steps, report_interval=None, check_health=True):
+        """Advance n_steps; returns per-report-interval quantum estimators
+        (kJ/mol). Raises RuntimeError on NaN (NaN propagates through the
+        PE trace, locating the failing step like md.Simulation.step)."""
+        report_interval = report_interval or n_steps
+        rows = dict(step=[], potential_energy=[], kinetic_virial=[],
+                    total_energy=[])
+        remaining = n_steps
+        while remaining > 0:
+            k = min(report_interval, remaining)
+            self.state, (pes, kes) = self._chunk(self.state, n=k)
+            pe_host = np.asarray(pes)
+            if check_health and np.isnan(pe_host).any():
+                at = int(self.state.step) - k + int(np.argmax(np.isnan(pe_host)))
+                raise RuntimeError(f'PIMD health check failed: NaN potential '
+                                   f'energy at step {at}')
+            pe_mean = float(pe_host[-1]) / self.n_beads
+            ke = float(np.asarray(kes)[-1])
+            rows['step'].append(int(self.state.step))
+            rows['potential_energy'].append(pe_mean)
+            rows['kinetic_virial'].append(ke)
+            rows['total_energy'].append(pe_mean + ke)
+            remaining -= k
+        return {k: np.asarray(v) for k, v in rows.items()}
+
+    # -- checkpointing (pytree snapshot, md.Simulation parity) -------------
+    def checkpoint(self):
+        s = self.state
+        return dict(positions=np.asarray(s.positions),
+                    velocities=np.asarray(s.velocities),
+                    forces=np.asarray(s.forces), box=np.asarray(s.box),
+                    potential_energy=np.asarray(s.potential_energy),
+                    step=np.asarray(s.step), rng=np.asarray(s.rng))
+
+    def load_checkpoint(self, ck):
+        self.state = MDState(
+            positions=jnp.asarray(ck['positions']),
+            velocities=jnp.asarray(ck['velocities']),
+            forces=jnp.asarray(ck['forces']),
+            potential_energy=jnp.asarray(ck['potential_energy']),
+            box=jnp.asarray(ck['box']), step=jnp.asarray(ck['step']),
+            rng=jnp.asarray(ck['rng']))
+
+    def save_checkpoint(self, path):
+        np.savez(path, **self.checkpoint())
+
+    def load_checkpoint_file(self, path):
+        with np.load(path) as z:
+            self.load_checkpoint({k: z[k] for k in z.files})

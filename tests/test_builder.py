@@ -40,3 +40,53 @@ def test_builder_end_to_end(tmp_path):
     assert nc.Conventions == b'AMBER'
     assert set(nc.variables) >= {'coordinates', 'velocities', 'forces'}
     nc.close()
+
+
+def test_builder_renders_pimd_section(tmp_path):
+    """[pimd] INI section renders a PIMDSimulation driver script."""
+    ini = os.path.join(REPO, 'examples', 'example_ini',
+                       'mbpol_cluster_pimd.ini')
+    r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                        ini], capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO))
+    assert r.returncode == 0, r.stderr
+    assert 'PIMDSimulation' in r.stdout
+    assert 'n_beads=8' in r.stdout
+    assert 'contraction=1' in r.stdout
+    assert 'kinetic_virial' in r.stdout
+    # compiles as python
+    import ast
+    ast.parse(r.stdout)
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_builder_pimd_end_to_end(tmp_path):
+    """Render and EXECUTE a tiny PIMD INI (2 beads, 3 steps)."""
+    subprocess.run([sys.executable, os.path.join(REPO, 'examples', 'make_inputs.py')],
+                   check=True, cwd=str(tmp_path))
+    import shutil
+    shutil.copy(os.path.join(REPO, 'examples', 'water14_cluster.pdb'),
+                tmp_path / 'water14_cluster.pdb')
+    ini_text = (tmp_path / 'pimd.ini')
+    src = open(os.path.join(REPO, 'examples', 'example_ini',
+                            'mbpol_cluster_pimd.ini')).read()
+    src = (src.replace('n_beads = 8', 'n_beads = 2')
+              .replace('equilibration_steps = 100', 'equilibration_steps = 1')
+              .replace('production_steps = 400', 'production_steps = 2')
+              .replace('save_energy_every = 100', 'save_energy_every = 1'))
+    ini_text.write_text(src)
+    script = tmp_path / 'run_pimd.py'
+    r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                        str(ini_text), str(script)], cwd=str(tmp_path),
+                       capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS='cpu'))
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([sys.executable, str(script)], cwd=str(tmp_path),
+                       capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS='cpu'))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert 'KE_virial' in r.stdout or 'kcalmol' in r.stdout
+    assert (tmp_path / 'water14_pimd_pimd.npz').exists()

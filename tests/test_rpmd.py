@@ -322,3 +322,34 @@ def test_rpmd_water3_runs_and_conserves():
     # beads stay near each other (no explosion): max bead spread < 0.05 nm
     spread = jnp.max(jnp.abs(out.positions - out.positions.mean(axis=0)))
     assert float(spread) < 0.05
+
+
+@pytest.mark.slow
+def test_pimd_simulation_driver_checkpoint_resume():
+    """PIMDSimulation surface: stepping, metrics, checkpoint determinism
+    (same contract as md.Simulation's pytree snapshots)."""
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    fix = fixtures.load('water3_cluster')
+    sys_ = System.waters(3)
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff',
+                                  target_epsilon=1e-7))
+    sim = rpmd.PIMDSimulation(pot, n_beads=2, dt=2e-5, temperature=300.0,
+                              tau0=0.05, seed=3)
+    sim.set_positions(pos, spread=0.001)
+    m = sim.step(4, report_interval=2)
+    assert list(m['step']) == [2, 4]
+    assert np.all(np.isfinite(m['total_energy']))
+    ck = sim.checkpoint()
+
+    m1 = sim.step(3)
+    sim2 = rpmd.PIMDSimulation(pot, n_beads=2, dt=2e-5, temperature=300.0,
+                               tau0=0.05, seed=3)
+    sim2.load_checkpoint(ck)
+    m2 = sim2.step(3)
+    np.testing.assert_allclose(m1['total_energy'], m2['total_energy'],
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(sim.state.positions),
+                                  np.asarray(sim2.state.positions))
