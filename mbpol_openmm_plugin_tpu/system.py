@@ -53,9 +53,25 @@ class System:
 
     # ------------------------------------------------------------------
     @classmethod
-    def waters(cls, n_waters, n_ions=0, box=None):
-        """Standard layout: n_waters x [O,H1,H2,M] then n_ions x [Cl]."""
+    def waters(cls, n_waters, n_ions=0, box=None, isotope='H2O'):
+        """Standard layout: n_waters x [O,H1,H2,M] then n_ions x [Cl].
+
+        isotope: 'H2O' (default), 'D2O' (both hydrogens deuterated) or
+        'HDO' (H1 -> D). The MB-pol PES is a Born-Oppenheimer surface -
+        mass-independent - so isotopologues differ ONLY in the masses
+        (CODATA deuterium atomic mass 2.01410177812 amu); the isotope
+        effect enters through the dynamics, classically via time scales
+        and quantum-mechanically via the ring-polymer ZPE (md/rpmd.py).
+        """
         ff = _data.load('forcefield')
+        MASS_D = 2.01410177812
+        m_h1 = m_h2 = float(ff['mass_H'])
+        if isotope == 'D2O':
+            m_h1 = m_h2 = MASS_D
+        elif isotope == 'HDO':
+            m_h1 = MASS_D
+        elif isotope != 'H2O':
+            raise ValueError(f'unknown isotope {isotope!r}')
         base = 4 * np.arange(n_waters, dtype=np.int32)
         atom_class = np.concatenate([
             np.tile([CLASS_O, CLASS_H, CLASS_H, CLASS_M], n_waters),
@@ -64,7 +80,7 @@ class System:
             np.repeat(np.arange(n_waters), 4),
             n_waters + np.arange(n_ions)]).astype(np.int32)
         masses = np.concatenate([
-            np.tile([ff['mass_O'], ff['mass_H'], ff['mass_H'], ff['mass_M']], n_waters),
+            np.tile([ff['mass_O'], m_h1, m_h2, ff['mass_M']], n_waters),
             np.full(n_ions, ff['mass_Cl'])]).astype(np.float64)
         return cls(
             n_waters=n_waters, n_ions=n_ions,

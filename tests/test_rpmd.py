@@ -34,13 +34,24 @@ def test_hbar_value():
     assert abs(rpmd.HBAR_KJMOL_PS - 0.0635077993) < 1e-9
 
 
-def _one_water_system():
-    sys_ = System.waters(1)
+def _one_water_system(isotope='H2O'):
+    sys_ = System.waters(1, isotope=isotope)
     pos = jnp.asarray([[0.0, 0.0, 0.0],
                        [0.0757, 0.0586, 0.0],
                        [-0.0757, 0.0586, 0.0],
                        [0.0, 0.0, 0.0]], jnp.float64)
     return sys_, compute_virtual_sites(sys_, pos)
+
+
+def test_isotopologue_masses():
+    h2o = System.waters(2, isotope='H2O')
+    d2o = System.waters(2, isotope='D2O')
+    hdo = System.waters(2, isotope='HDO')
+    np.testing.assert_allclose(d2o.masses[[1, 2, 5, 6]], 2.01410177812)
+    assert hdo.masses[1] > 2.0 and hdo.masses[2] < 1.1
+    np.testing.assert_array_equal(h2o.masses[[0, 3]], d2o.masses[[0, 3]])
+    with pytest.raises(ValueError):
+        System.waters(1, isotope='T2O')
 
 
 def test_free_ring_polymer_conserves_hamiltonian():
@@ -117,12 +128,16 @@ def test_rpmd_classical_limit_one_bead():
     assert abs(measured - expect) / expect < 0.10, (measured, expect)
 
 
-def test_rpmd_harmonic_quantum_kinetic_energy():
+@pytest.mark.parametrize('isotope', ['H2O', 'D2O'])
+def test_rpmd_harmonic_quantum_kinetic_energy(isotope):
     """16-bead PILE sampling of independent 3-D harmonic oscillators: the
     centroid-virial KE estimator must reproduce the analytic quantum
     kinetic energy sum_dof (hbar w / 4) coth(beta hbar w / 2), which is
-    1.5-2x the classical 3/2 kT at these frequencies."""
-    sys_, pos = _one_water_system()
+    1.5-2x the classical 3/2 kT at these frequencies. Parametrized over
+    isotopologues: deuteration halves w = sqrt(k/m) for the H sites, so
+    the D2O expectation is measurably lower (the H/D isotope effect the
+    PIMD machinery exists to capture)."""
+    sys_, pos = _one_water_system(isotope)
     T = 300.0
     n_beads = 16
     # beta hbar omega_H ~ 3 (strongly quantum H, mildly quantum O)
@@ -187,6 +202,28 @@ def test_contraction_matrix_rejects_even():
         rpmd.contraction_matrix(8, 4)
     with pytest.raises(ValueError):
         rpmd.contraction_matrix(8, 9)
+
+
+def test_contracted_forces_are_exact_gradient():
+    """The RPC force path (transpose transform, (n/nc) scaling) must equal
+    -grad of the total RPC energy for an anharmonic potential."""
+    n, nc = 8, 3
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(scale=0.05, size=(n, 6, 3)))
+
+    def ef_inter(p):
+        e = jnp.sum(p ** 2) + 0.3 * jnp.sum(p ** 4) + jnp.sum(p[0] * p[3])
+        return e, -jax.grad(lambda x: jnp.sum(x ** 2) + 0.3 * jnp.sum(x ** 4)
+                            + jnp.sum(x[0] * x[3]))(p)
+
+    def ef_intra(p):
+        e = 2.0 * jnp.sum(jnp.sin(p) ** 2)
+        return e, -jax.grad(lambda x: 2.0 * jnp.sum(jnp.sin(x) ** 2))(p)
+
+    ef = rpmd.contracted_energy_forces(ef_inter, ef_intra, n, nc)
+    e, f = ef(q)
+    g = jax.grad(lambda qq: jnp.sum(ef(qq)[0]))(q)
+    np.testing.assert_allclose(np.asarray(f), -np.asarray(g), atol=1e-12)
 
 
 def test_contracted_split_exact_at_full_beads():
