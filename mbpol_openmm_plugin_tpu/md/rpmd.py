@@ -335,7 +335,8 @@ def mbpol_intra_inter_split(potential):
 
     from mbpol_openmm_plugin_tpu.models.one_body import one_body_energy
     from mbpol_openmm_plugin_tpu.models.potential import MBPol
-    from mbpol_openmm_plugin_tpu.system import water_positions
+    from mbpol_openmm_plugin_tpu.system import (make_molecules_whole,
+                                                water_positions)
 
     sys_ = potential.system
     cfg = potential.config
@@ -351,6 +352,10 @@ def mbpol_intra_inter_split(potential):
             setattr(pot_inter, attr, getattr(potential, attr))
 
     def e_intra(p):
+        # image hydrogens next to their O exactly like the full potential
+        # (_energy_forces_impl) so split-across-boundary inputs don't read
+        # as huge monomer distortions
+        p = make_molecules_whole(sys_, p)
         return jnp.sum(one_body_energy(water_positions(sys_, p)))
 
     def ef_intra(p):

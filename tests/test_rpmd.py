@@ -390,3 +390,30 @@ def test_pimd_simulation_driver_checkpoint_resume():
                                rtol=1e-12)
     np.testing.assert_array_equal(np.asarray(sim.state.positions),
                                   np.asarray(sim2.state.positions))
+
+
+@pytest.mark.slow
+def test_rpmd_contracted_pme_bulk_runs():
+    """Periodic-path coverage: water50 bulk PME under 2-bead RPC-contracted
+    RPMD (the bead vmap + contraction over the PME/SCF pipeline)."""
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    fix = fixtures.load('water50')
+    sys_ = System.waters(50, box=[1.8, 1.8, 1.8])   # test_potential_pme box
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.45,
+                                  target_epsilon=1e-5))
+    pot.tune_capacities(pos)
+    sim = rpmd.PIMDSimulation(pot, n_beads=2, dt=2e-5, temperature=300.0,
+                              tau0=0.05, contraction=1, seed=6)
+    sim.set_positions(pos, spread=0.0005)
+    m = sim.step(3)
+    assert np.all(np.isfinite(m['total_energy']))
+    # the contracted potential must track the full potential at the bead
+    # centroid; the residual is the genuine quantum dispersion correction
+    # (bead mean of the convex one-body term > its centroid value, a few
+    # kJ/mol for 50 waters after 3 thermostatted steps at this spread)
+    e_full, _, _, _ = pot._energy_forces_impl(
+        jnp.mean(sim.state.positions, axis=0))
+    assert abs(m['potential_energy'][-1] - float(e_full)) < 25.0  # kJ/mol
