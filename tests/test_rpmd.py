@@ -417,3 +417,38 @@ def test_rpmd_contracted_pme_bulk_runs():
     e_full, _, _, _ = pot._energy_forces_impl(
         jnp.mean(sim.state.positions, axis=0))
     assert abs(m['potential_energy'][-1] - float(e_full)) < 25.0  # kJ/mol
+
+
+def test_rpmd_nve_conserves_hamiltonian_harmonic():
+    """thermostat='none' (gamma = 0 everywhere): the BAOAB flow with a
+    harmonic external potential must conserve the ring-polymer
+    Hamiltonian to O(dt^2) over thousands of steps."""
+    sys_, pos = _one_water_system()
+    T, n_beads = 300.0, 8
+    k_spring = 2000.0
+    x0 = pos
+    real_np = (np.asarray(sys_.masses) > 0)[:, None]
+
+    def ef(p):
+        d = p - x0
+        real = jnp.asarray(real_np)
+        e = 0.5 * k_spring * jnp.sum(jnp.where(real, d * d, 0.0))
+        return e, jnp.where(real, -k_spring * d, 0.0)
+
+    step = rpmd.make_rpmd_step(sys_, ef, n_beads, 2e-4, T, thermostat='none')
+    state = rpmd.initial_state(sys_, pos, n_beads, T, jax.random.PRNGKey(9),
+                               spread=0.004)
+    v = 0.3 * jax.random.normal(jax.random.PRNGKey(10),
+                                state.positions.shape, jnp.float64)
+    e0, f0 = jax.vmap(ef)(state.positions)
+    state = dataclasses.replace(
+        state, velocities=jnp.where(real_np[None], v, 0.0),
+        forces=f0, potential_energy=e0)
+
+    h0 = float(rpmd.ring_polymer_hamiltonian(sys_, state, T))
+    run = jax.jit(lambda s: jax.lax.fori_loop(0, 5000,
+                                              lambda i, c: step(c), s))
+    out = jax.block_until_ready(run(state))
+    h1 = float(rpmd.ring_polymer_hamiltonian(sys_, out, T))
+    # relative drift bounded at the symplectic-integrator level
+    assert abs(h1 - h0) / abs(h0) < 2e-4, (h0, h1)
