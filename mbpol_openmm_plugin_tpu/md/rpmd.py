@@ -175,7 +175,19 @@ def initial_state(system: System, positions, n_beads, temperature_k, key,
                   box=None, spread=0.0):
     """Bead-leading MDState: beads start at `positions` (optionally with a
     small Gaussian spread on real atoms) and zero velocities (the PILE
-    thermostat equilibrates the modes)."""
+    thermostat equilibrates the modes).
+
+    box: display/bookkeeping only and must equal system.box - RPMD has no
+    barostat, and the potential evaluations (make_rpmd_potential_step,
+    PIMDSimulation) run at the STATIC system.box; accepting a different
+    value here would silently evaluate wrong periodic physics."""
+    if box is not None:
+        if system.box is None:
+            raise ValueError('box given but the System is non-periodic; '
+                             'pass box at System construction')
+        if not np.allclose(np.asarray(box), np.asarray(system.box)):
+            raise ValueError(f'box {box} != system.box {system.box}; RPMD '
+                             'evaluates at the static system.box')
     dtype = positions.dtype
     pos = jnp.broadcast_to(positions[None], (n_beads,) + positions.shape)
     key, k1 = jax.random.split(key)
@@ -340,9 +352,11 @@ def mbpol_intra_inter_split(potential):
 
     sys_ = potential.system
     cfg = potential.config
+    has_one_body = 'one_body' in cfg.terms
     inter_terms = tuple(t for t in cfg.terms if t != 'one_body')
-    pot_inter = MBPol(sys_, _dc.replace(cfg, terms=inter_terms),
-                      mesh=potential.mesh)
+    pot_inter = (MBPol(sys_, _dc.replace(cfg, terms=inter_terms),
+                       mesh=potential.mesh)
+                 if has_one_body else potential)
     # inherit the parent's tuned padded-list capacities (tune_capacities
     # state; a fresh MBPol would fall back to the conservative analytic
     # bounds and waste 2-3x on oversized pair/triplet batches)
@@ -358,9 +372,16 @@ def mbpol_intra_inter_split(potential):
         p = make_molecules_whole(sys_, p)
         return jnp.sum(one_body_energy(water_positions(sys_, p)))
 
-    def ef_intra(p):
-        e, g = jax.value_and_grad(e_intra)(p)
-        return e, -g
+    if has_one_body:
+        def ef_intra(p):
+            e, g = jax.value_and_grad(e_intra)(p)
+            return e, -g
+    else:
+        # the parent excludes one_body: the intra channel is empty (the
+        # full term set is evaluated on the contracted beads), keeping the
+        # n_contracted == n_beads exactness contract
+        def ef_intra(p):
+            return jnp.zeros((), p.dtype), jnp.zeros_like(p)
 
     def ef_inter(p):
         e, f, parts, diag = pot_inter._energy_forces_impl(p)
@@ -401,12 +422,20 @@ class PIMDSimulation:
         self.contraction = contraction
         self._key = jax.random.PRNGKey(seed)
         if contraction:
-            self._step = make_rpmd_contracted_potential_step(
-                potential, n_beads, contraction, dt, temperature,
-                tau0=tau0, thermostat=thermostat)
+            if mesh is not None:
+                raise ValueError(
+                    'mesh + contraction is unsupported: the contracted '
+                    'bead set is small and runs unsharded - drop mesh or '
+                    'contraction')
+            # one split, one contracted evaluation: reused by the step AND
+            # by set_positions seeding (avoids a duplicate inter-MBPol and
+            # a second identical jit compile)
             ef_intra, ef_inter = mbpol_intra_inter_split(potential)
             self._ef_all = contracted_energy_forces(
                 ef_inter, ef_intra, n_beads, contraction)
+            self._step = make_rpmd_step(
+                potential.system, self._ef_all, n_beads, dt, temperature,
+                tau0=tau0, thermostat=thermostat, batched=True)
         else:
             self._step = make_rpmd_potential_step(
                 potential, n_beads, dt, temperature, tau0=tau0,

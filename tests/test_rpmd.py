@@ -55,15 +55,19 @@ def test_isotopologue_masses():
 
 
 def test_free_ring_polymer_conserves_hamiltonian():
-    """With zero external forces and gamma = 0 the exact normal-mode flow
-    conserves the spring Hamiltonian to machine precision."""
+    """With zero external forces and thermostat='none' (gamma = 0 on every
+    mode) the exact normal-mode flow conserves the spring Hamiltonian to
+    machine precision (the A-step is the exact free ring-polymer
+    propagator, not a discretization) and the centroid keeps its total
+    momentum."""
     sys_, pos = _one_water_system()
     n_beads, T = 8, 200.0
 
     def ef(p):
         return jnp.zeros(()), jnp.zeros_like(p)
 
-    step = rpmd.make_rpmd_step(sys_, ef, n_beads, 5e-4, T, tau0=None)
+    step = rpmd.make_rpmd_step(sys_, ef, n_beads, 5e-4, T,
+                               thermostat='none')
     state = rpmd.initial_state(sys_, pos, n_beads, T, jax.random.PRNGKey(0),
                                spread=0.004)
     # give the beads some mode velocities (deterministic)
@@ -72,25 +76,18 @@ def test_free_ring_polymer_conserves_hamiltonian():
     real = (np.asarray(sys_.masses) > 0)[None, :, None]
     state = dataclasses.replace(state, velocities=jnp.where(real, v, 0.0))
 
-    # thermostat is gamma=0 on every mode when tau0 is None BUT internal
-    # modes get gamma_k = 2 omega_k; build a truly Hamiltonian flow by
-    # monkey-free construction: set all gammas to zero via tau0=None and
-    # zero internal friction -> use the private pieces directly instead.
     h0 = float(rpmd.ring_polymer_hamiltonian(sys_, state, T))
+    assert h0 != 0.0
 
     run = jax.jit(lambda s: jax.lax.fori_loop(0, 200, lambda i, c: step(c), s))
     out = run(state)
     h1 = float(rpmd.ring_polymer_hamiltonian(sys_, out, T))
-    # the PILE internal-mode thermostat exchanges energy, so H is NOT
-    # conserved here - but the flow must stay finite and the centroid
-    # (gamma_0 = 0) must keep its momentum (no external force, no noise)
-    assert np.isfinite(h1)
+    assert abs(h1 - h0) / abs(h0) < 1e-12, (h0, h1)
     p0 = np.asarray(state.velocities).mean(axis=0)  # centroid velocity
     p1 = np.asarray(out.velocities).mean(axis=0)
     m = np.asarray(sys_.masses)[:, None]
     np.testing.assert_allclose((m * p1).sum(axis=0), (m * p0).sum(axis=0),
                                atol=1e-10)
-    assert abs(h1) < 1e6 and h0 != 0.0
 
 
 def test_rpmd_classical_limit_one_bead():
@@ -452,3 +449,50 @@ def test_rpmd_nve_conserves_hamiltonian_harmonic():
     h1 = float(rpmd.ring_polymer_hamiltonian(sys_, out, T))
     # relative drift bounded at the symplectic-integrator level
     assert abs(h1 - h0) / abs(h0) < 2e-4, (h0, h1)
+
+
+def test_initial_state_rejects_mismatched_box():
+    sys_, pos = _one_water_system()            # non-periodic
+    with pytest.raises(ValueError):
+        rpmd.initial_state(sys_, pos, 2, 300.0, jax.random.PRNGKey(0),
+                           box=[2.0, 2.0, 2.0])
+    sysp = System.waters(1, box=[1.8, 1.8, 1.8])
+    with pytest.raises(ValueError):
+        rpmd.initial_state(sysp, pos, 2, 300.0, jax.random.PRNGKey(0),
+                           box=[2.0, 2.0, 2.0])
+    # the matching box passes
+    rpmd.initial_state(sysp, pos, 2, 300.0, jax.random.PRNGKey(0),
+                       box=[1.8, 1.8, 1.8])
+
+
+def test_pimd_simulation_rejects_mesh_with_contraction():
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+    from mbpol_openmm_plugin_tpu.parallel.mesh import make_mesh
+
+    fix = fixtures.load('water3_cluster')
+    sys_ = System.waters(3)
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff'))
+    with pytest.raises(ValueError):
+        rpmd.PIMDSimulation(pot, n_beads=8, contraction=1,
+                            mesh=make_mesh(8))
+
+
+def test_split_respects_excluded_one_body():
+    """A parent potential WITHOUT one_body must not have it re-added by the
+    contraction split (the intra channel is empty)."""
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    fix = fixtures.load('water3_cluster')
+    sys_ = System.waters(3)
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    pot = MBPol(sys_, MBPolConfig(
+        nonbonded_method='NoCutoff',
+        terms=('two_body', 'three_body', 'dispersion')))
+    ef_intra, ef_inter = rpmd.mbpol_intra_inter_split(pot)
+    e_i, f_i = ef_intra(pos)
+    assert float(e_i) == 0.0 and not np.any(np.asarray(f_i))
+    e_x, _ = ef_inter(pos)
+    e_full, _, _, _ = pot._energy_forces_impl(pos)
+    np.testing.assert_allclose(float(e_x), float(e_full), rtol=1e-12)
