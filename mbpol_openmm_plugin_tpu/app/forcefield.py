@@ -170,7 +170,7 @@ class ForceField:
     # ------------------------------------------------------------------
     def createSystem(self, topology, nonbondedMethod=NoCutoff,
                      nonbondedCutoff=1.0 * unit.nanometer,
-                     ewaldErrorTolerance=1e-4, **kwargs):
+                     ewaldErrorTolerance=1e-4, hydrogenMass=None, **kwargs):
         if nonbondedMethod == CutoffPeriodic and self.has_electrostatics:
             # Reference parity: the electrostatics generator's methodMap has
             # no CutoffPeriodic entry and raises (reference python/mbpol.py:
@@ -184,6 +184,26 @@ class ForceField:
         periodic = nonbondedMethod in (PME, CutoffPeriodic)
         sys_ = System.from_atom_names(topology.atom_names, topology.residue_names,
                                       box=box if periodic else None)
+        if hydrogenMass is not None:
+            # OpenMM createSystem semantics (hydrogen mass repartitioning):
+            # set every H to this mass and subtract the difference from the
+            # bonded heavy atom (the water O) so the molecular mass is
+            # unchanged. For TRUE isotopologues (total mass changes) use
+            # System.waters(isotope='D2O'|'HDO') instead.
+            import dataclasses as _dc
+
+            import numpy as _np
+            h_mass = (hydrogenMass.value_in_unit(unit.amu)
+                      if hasattr(hydrogenMass, 'value_in_unit')
+                      else float(hydrogenMass))
+            masses = _np.array(sys_.masses)
+            for h_idx in (sys_.h1_index, sys_.h2_index):
+                masses[sys_.o_index] -= h_mass - masses[h_idx]
+                masses[h_idx] = h_mass
+            if _np.any(masses[sys_.o_index] <= 0):
+                raise ValueError(f'hydrogenMass={h_mass} amu leaves the '
+                                 'oxygen with non-positive mass')
+            sys_ = _dc.replace(sys_, masses=masses)
         forces = []
         if self.has_electrostatics:
             forces.append(_Force('electrostatics'))

@@ -196,3 +196,22 @@ def test_old_dialect_per_residue_thole(tmp_path):
     ff = app.ForceField(str(p))
     np.testing.assert_allclose(ff.thole, [0.4, 0.4, 0.055, 0.626, 0.055])
     assert not ff.include_charge_redistribution
+
+
+def test_create_system_hydrogen_mass_repartitioning(pdb_dir):
+    """OpenMM createSystem(hydrogenMass=...) semantics: H set to the given
+    mass, the difference subtracted from the bonded O (molecular mass
+    conserved)."""
+    pdb = app.PDBFile(pdb_dir['water3'])
+    ff = app.ForceField(app.mbpol_xml_path())
+    spec = ff.createSystem(pdb.topology, hydrogenMass=3.024 * unit.amu)
+    m = np.asarray(spec.system.masses)
+    h = np.concatenate([spec.system.h1_index, spec.system.h2_index])
+    np.testing.assert_allclose(m[h], 3.024)
+    # molecular mass conserved vs the unrepartitioned system
+    spec0 = ff.createSystem(pdb.topology)
+    np.testing.assert_allclose(m[spec.system.o_index] + 2 * 3.024,
+                               np.asarray(spec0.system.masses)[spec0.system.o_index]
+                               + 2 * np.asarray(spec0.system.masses)[spec0.system.h1_index])
+    with pytest.raises(ValueError):
+        ff.createSystem(pdb.topology, hydrogenMass=30.0 * unit.amu)
