@@ -1,0 +1,125 @@
+"""Trajectory analysis helpers: RDF, VACF/VDOS, dipole time series.
+
+The reference delegates analysis to external tools (trajectories go out
+through PDB/NetCDF reporters); these helpers cover the standard water
+observables directly on position/velocity arrays as produced by the MD
+drivers (md/simulation.py checkpoints, app reporters, or raw lax.scan
+outputs). Pure numpy - analysis is host-side post-processing, not a hot
+path.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from mbpol_openmm_plugin_tpu.system import System
+
+
+def radial_distribution(system: System, frames, r_max=None, n_bins=200,
+                        species='OO'):
+    """g(r) between water sites over trajectory frames.
+
+    frames: [n_frames, natoms, 3] positions (nm). Periodic systems use
+    minimum-image distances; r_max defaults to box/2 (periodic) or the
+    largest pair distance found (cluster).
+    species: 'OO', 'OH', or 'HH'.
+    Returns (r_centers [n_bins], g [n_bins]).
+    """
+    frames = np.asarray(frames)
+    if frames.ndim == 2:
+        frames = frames[None]
+    sel = {'O': system.o_index,
+           'H': np.concatenate([system.h1_index, system.h2_index])}
+    a_idx, b_idx = sel[species[0]], sel[species[1]]
+    same = species[0] == species[1]
+
+    box = None if system.box is None else np.asarray(system.box)
+    if r_max is None:
+        r_max = (0.5 * float(box.min()) if box is not None
+                 else float(np.max(np.linalg.norm(
+                     frames[0][a_idx][:, None] - frames[0][b_idx][None],
+                     axis=-1))))
+    edges = np.linspace(0.0, r_max, n_bins + 1)
+    hist = np.zeros(n_bins)
+
+    for f in frames:
+        d = f[a_idx][:, None, :] - f[b_idx][None, :, :]
+        if box is not None:
+            d -= np.round(d / box) * box
+        r = np.linalg.norm(d, axis=-1)
+        if same:
+            iu = np.triu_indices(len(a_idx), k=1)
+            r = r[iu]
+        else:
+            r = r.ravel()
+        h, _ = np.histogram(r, bins=edges)
+        hist += h
+
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    shell_vol = 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
+    n_pairs = (len(a_idx) * (len(a_idx) - 1) // 2 if same
+               else len(a_idx) * len(b_idx))
+    if box is not None:
+        vol = float(np.prod(box))
+        ideal = n_pairs / vol * shell_vol
+    else:
+        # cluster: normalize to the mean pair density inside r_max
+        ideal = n_pairs * shell_vol / (4.0 / 3.0 * np.pi * r_max ** 3)
+    g = hist / (len(frames) * np.maximum(ideal, 1e-300))
+    return centers, g
+
+
+def velocity_autocorrelation(system: System, velocities, max_lag=None,
+                             species='all'):
+    """Normalized, mass-weighted VACF C(t)/C(0) over a velocity trajectory
+    [n_frames, natoms, 3] (nm/ps). species: 'all' (real atoms), 'O', 'H'."""
+    v = np.asarray(velocities)
+    m = np.asarray(system.masses)
+    if species == 'all':
+        idx = np.where(m > 0)[0]
+    elif species == 'O':
+        idx = np.asarray(system.o_index)
+    elif species == 'H':
+        idx = np.concatenate([system.h1_index, system.h2_index])
+    else:
+        raise ValueError(species)
+    v = v[:, idx, :] * np.sqrt(m[idx])[None, :, None]
+    n = v.shape[0]
+    max_lag = max_lag or n // 2
+    flat = v.reshape(n, -1)
+    # FFT autocorrelation (Wiener-Khinchin), unbiased normalization
+    nfft = 1 << int(np.ceil(np.log2(2 * n)))
+    F = np.fft.rfft(flat, n=nfft, axis=0)
+    acf = np.fft.irfft((F * F.conj()).real, n=nfft, axis=0)[:max_lag]
+    acf = acf.sum(axis=1) / (n - np.arange(max_lag))
+    return acf / acf[0]
+
+
+def vibrational_density_of_states(system: System, velocities, dt,
+                                  max_lag=None, species='all'):
+    """VDOS: cosine transform of the VACF. Returns (freq_invcm, vdos)
+    with frequencies in cm^-1 (dt in ps)."""
+    acf = velocity_autocorrelation(system, velocities, max_lag=max_lag,
+                                   species=species)
+    w = np.hanning(2 * len(acf))[len(acf):]
+    spec = np.abs(np.fft.rfft(acf * w))
+    freq_thz = np.fft.rfftfreq(len(acf), d=dt)        # 1/ps = THz
+    invcm = freq_thz / 0.0299792458                    # THz -> cm^-1
+    return invcm, spec
+
+
+def dipole_series(potential, frames):
+    """Total system dipole (fixed charges + induced) per frame in Debye,
+    via models.electrostatics.system_moments (the reference's
+    getSystemElectrostaticsMoments convention: cluster SCF). Returns
+    [n_frames, 3]. Host loop - intended for reporting cadences, not
+    per-step hot paths."""
+    import jax.numpy as jnp
+
+    from mbpol_openmm_plugin_tpu.models import electrostatics as E
+
+    masses = np.asarray(potential.system.masses)
+    out = []
+    for f in np.asarray(frames):
+        mom = E.system_moments(potential.elec_params, jnp.asarray(f), masses)
+        out.append(np.asarray(mom)[1:4])
+    return np.asarray(out)
