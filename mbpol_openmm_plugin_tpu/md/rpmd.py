@@ -470,8 +470,11 @@ class PIMDSimulation:
 
     def step(self, n_steps, report_interval=None, check_health=True):
         """Advance n_steps; returns per-report-interval quantum estimators
-        (kJ/mol). Raises RuntimeError on NaN (NaN propagates through the
-        PE trace, locating the failing step like md.Simulation.step)."""
+        (kJ/mol). With check_health, raises RuntimeError on NaN (NaN
+        propagates through the PE trace, locating the failing step) or on
+        SCF non-convergence / neighbor-list overflow at the report
+        boundary - one diagnostic evaluation of bead 0, the same
+        report-boundary scheme as md.Simulation.step."""
         report_interval = report_interval or n_steps
         rows = dict(step=[], potential_energy=[], kinetic_virial=[],
                     total_energy=[])
@@ -484,6 +487,21 @@ class PIMDSimulation:
                 at = int(self.state.step) - k + int(np.argmax(np.isnan(pe_host)))
                 raise RuntimeError(f'PIMD health check failed: NaN potential '
                                    f'energy at step {at}')
+            if check_health:
+                _, _, _, diag = self.potential._energy_forces(
+                    self.state.positions[0])
+                bad = {kk: diag[kk] for kk in
+                       ('converged', 'pair_overflow', 'triplet_overflow',
+                        'pair_eval_overflow', 'triplet_eval_overflow',
+                        'elec_pair_overflow') if kk in diag}
+                ok = bool(diag.get('converged', True))
+                for kk, v in bad.items():
+                    if kk != 'converged':
+                        ok = ok and not bool(v)
+                if not ok:
+                    raise RuntimeError(
+                        'PIMD health check failed at step '
+                        f'{int(self.state.step)}: {bad}')
             pe_mean = float(pe_host[-1]) / self.n_beads
             ke = float(np.asarray(kes)[-1])
             rows['step'].append(int(self.state.step))
