@@ -47,14 +47,15 @@ from mbpol_openmm_plugin_tpu.utils import units
 
 N_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 100
 RUN_FULL = '--full' in sys.argv
-T = 300.0
+ISOTOPE = 'D2O' if '--d2o' in sys.argv else 'H2O'   # heavy water: same PES,
+T = 300.0                                           # heavier masses, less ZPE
 DT = 2e-4                      # ps (0.2 fs, the reference benchmark step)
 
 fix = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)), '..',
                            'tests', 'fixtures',
                            'water256_integration_test.npz'))
 box = [19.3996888399961804 / 10.0] * 3
-sys_ = System.waters(256, box=box)
+sys_ = System.waters(256, box=box, isotope=ISOTOPE)
 pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions'], jnp.float32))
 pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
                               target_epsilon=1e-3, max_iterations=200,
