@@ -136,6 +136,29 @@ def main():
     check('water256 PME total (sharded block-sparse, 1-dev mesh)',
           float(e_bs) * units.KJ_PER_MOL_TO_KCAL_PER_MOL, -2270.88890, 20.0)
 
+    # PIMD production path on hardware: water14 cluster, 4 beads contracted
+    # to the centroid - 20 PILE steps must stay finite and the
+    # centroid-virial quantum KE must exceed classical equipartition
+    # (zero-point motion; md/rpmd.py)
+    from mbpol_openmm_plugin_tpu.md import rpmd
+    from mbpol_openmm_plugin_tpu.system import compute_virtual_sites
+    sys14, pos14 = fixtures.load_system('water14_cluster', None)
+    pos14 = compute_virtual_sites(sys14, jnp.asarray(pos14, jnp.float32))
+    pot14 = MBPol(sys14, MBPolConfig(nonbonded_method='NoCutoff',
+                                     target_epsilon=1e-4))
+    psim = rpmd.PIMDSimulation(pot14, n_beads=4, dt=1e-4, temperature=150.0,
+                               tau0=0.05, contraction=1, seed=0)
+    psim.set_positions(pos14, spread=0.002)
+    pm = psim.step(20)
+    ke_q = float(pm['kinetic_virial'][-1])
+    ke_cl = 1.5 * 3 * 14 * units.BOLTZMANN_KJ_MOL_K * 150.0
+    ok = np.isfinite(pm['total_energy']).all() and ke_q > ke_cl
+    print('%-38s KE_q %10.1f kJ/mol  > classical %10.1f  %s'
+          % ('water14 PIMD 4-bead RPC (20 steps)', ke_q, ke_cl,
+             'PASS' if ok else 'FAIL'), flush=True)
+    if not ok:
+        failures.append('water14 PIMD')
+
     if failures:
         print('\nFAILED:', failures)
         return 1
