@@ -208,7 +208,7 @@ def initial_state(system: System, positions, n_beads, temperature_k, key,
 
 def make_rpmd_step(system: System, energy_forces_fn, n_beads, dt,
                    temperature_k, tau0=None, thermostat='pile', mesh=None,
-                   batched=False):
+                   batched=False, with_aux=False):
     """Returns a jittable `step(state) -> state` doing one BAOAB step.
 
     energy_forces_fn: positions [natoms, 3] -> (E, F) for ONE bead; it is
@@ -268,9 +268,13 @@ def make_rpmd_step(system: System, energy_forces_fn, n_beads, dt,
     masses = np.asarray(system.masses)
     # batched=True: energy_forces_fn already maps [n, natoms, 3] ->
     # ([n], [n, natoms, 3]) (e.g. contracted_energy_forces)
+    # with_aux=True: energy_forces_fn maps (q, aux) -> (e, f, aux') and the
+    # returned step maps (state, aux) -> (state, aux') - used to thread
+    # SCF warm-start dipoles through the scan (the fixed point, and hence
+    # the physics, is unchanged; only the iteration count drops)
     batched_ef = energy_forces_fn if batched else jax.vmap(energy_forces_fn)
 
-    def step(state: MDState) -> MDState:
+    def step(state: MDState, aux=None):
         dtype = state.positions.dtype
         m = jnp.asarray(masses, dtype)[None, :, None]
         inv_m = _inv_masses(system, dtype)[None]          # [1, natoms, 1]
@@ -312,12 +316,20 @@ def make_rpmd_step(system: System, energy_forces_fn, n_beads, dt,
         p = shard_beads(jnp.tensordot(Cj.T, P, axes=(1, 0)))
         q = shard_beads(jnp.tensordot(Cj.T, Q, axes=(1, 0)))
 
-        e, f = batched_ef(q)
+        if with_aux:
+            if not batched:
+                # bead-leading aux (e.g. per-bead warm-start dipoles)
+                # follows the bead sharding
+                aux = jax.tree_util.tree_map(shard_beads, aux)
+            e, f, aux = batched_ef(q, aux)
+        else:
+            e, f = batched_ef(q)
         f = shard_beads(f)
         p = p + 0.5 * dt * f
-        return dataclasses.replace(
+        new = dataclasses.replace(
             state, positions=q, velocities=p * inv_m, forces=f,
             potential_energy=e, step=state.step + 1, rng=key)
+        return (new, aux) if with_aux else new
 
     return step
 
@@ -387,6 +399,7 @@ def mbpol_intra_inter_split(potential):
         e, f, parts, diag = pot_inter._energy_forces_impl(p)
         return e, f
 
+    ef_inter._potential = pot_inter     # for warm-start plumbing
     return ef_intra, ef_inter
 
 
@@ -413,7 +426,7 @@ class PIMDSimulation:
 
     def __init__(self, potential, n_beads, dt=1e-4, temperature=300.0,
                  tau0=0.1, thermostat='pile', contraction=None, seed=0,
-                 mesh=None):
+                 mesh=None, scf_warm_start=True):
         self.potential = potential
         self.system = potential.system
         self.n_beads = int(n_beads)
@@ -421,6 +434,14 @@ class PIMDSimulation:
         self.temperature = float(temperature)
         self.contraction = contraction
         self._key = jax.random.PRNGKey(seed)
+        # SCF warm start: thread per-bead induced dipoles through the scan
+        # (same fixed point, fewer iterations - md.Simulation semantics,
+        # cf. SimulationConfig.scf_warm_start). Not applicable under 'aspc'
+        # (there mu0 is a predictor fed to a single corrector, which needs
+        # the history machinery) or without electrostatics.
+        self._warm = (scf_warm_start
+                      and potential.elec_params is not None
+                      and potential.config.scf_method != 'aspc')
         if contraction:
             if mesh is not None:
                 raise ValueError(
@@ -433,21 +454,62 @@ class PIMDSimulation:
             ef_intra, ef_inter = mbpol_intra_inter_split(potential)
             self._ef_all = contracted_energy_forces(
                 ef_inter, ef_intra, n_beads, contraction)
-            self._step = make_rpmd_step(
-                potential.system, self._ef_all, n_beads, dt, temperature,
-                tau0=tau0, thermostat=thermostat, batched=True)
-        else:
-            self._step = make_rpmd_potential_step(
-                potential, n_beads, dt, temperature, tau0=tau0,
-                thermostat=thermostat, mesh=mesh)
+            if self._warm:
+                pot_inter = ef_inter._potential
+                n, nc = int(n_beads), int(contraction)
+                Tm = contraction_matrix(n, nc)
+                scale = n / nc
+                b_intra = jax.vmap(ef_intra)
 
+                def inter_one(p, mu0):
+                    e, f, parts, diag = pot_inter._energy_forces_impl(
+                        p, mu0)
+                    return e, f, diag.get('induced_dipoles', mu0)
+                b_inter = jax.vmap(inter_one)
+
+                def ef_aux(q, mu):      # mu: [nc, natoms, 3]
+                    Tj = jnp.asarray(Tm, q.dtype)
+                    qc = jnp.tensordot(Tj, q, axes=(1, 0))
+                    e_c, f_c, mu_new = b_inter(qc, mu)
+                    e_i, f_i = b_intra(q)
+                    f = f_i + scale * jnp.tensordot(Tj.T, f_c, axes=(1, 0))
+                    e = e_i + (scale / n) * jnp.sum(e_c)
+                    return e, f, mu_new
+
+                self._mu_beads = int(contraction)
+                self._step = make_rpmd_step(
+                    potential.system, ef_aux, n_beads, dt, temperature,
+                    tau0=tau0, thermostat=thermostat, batched=True,
+                    with_aux=True)
+            else:
+                self._step = make_rpmd_step(
+                    potential.system, self._ef_all, n_beads, dt,
+                    temperature, tau0=tau0, thermostat=thermostat,
+                    batched=True)
+        else:
             def ef_all(q):
                 def one(p):
                     e, f, parts, diag = potential._energy_forces_impl(p)
                     return e, f
                 return jax.vmap(one)(q)
             self._ef_all = ef_all
+            if self._warm:
+                def one_aux(p, mu0):
+                    e, f, parts, diag = potential._energy_forces_impl(
+                        p, mu0)
+                    return e, f, diag.get('induced_dipoles', mu0)
+
+                self._mu_beads = self.n_beads
+                self._step = make_rpmd_step(
+                    potential.system, one_aux, n_beads, dt, temperature,
+                    tau0=tau0, thermostat=thermostat, mesh=mesh,
+                    with_aux=True)
+            else:
+                self._step = make_rpmd_potential_step(
+                    potential, n_beads, dt, temperature, tau0=tau0,
+                    thermostat=thermostat, mesh=mesh)
         self.state = None
+        self._mu = None
         self._chunk = jax.jit(self._chunk_impl, static_argnames=('n',))
 
     def set_positions(self, positions, box=None, spread=0.0):
@@ -458,15 +520,33 @@ class PIMDSimulation:
         e, f = jax.jit(self._ef_all)(self.state.positions)
         self.state = dataclasses.replace(self.state, forces=f,
                                          potential_energy=e)
+        if self._warm:
+            # warm-start dipoles: zeros converge to the same fixed point
+            # (only the very first step pays a few extra SCF iterations)
+            self._mu = jnp.zeros((self._mu_beads, self.system.n_atoms, 3),
+                                 pos.dtype)
 
-    def _chunk_impl(self, state, n):
+    def _chunk_impl(self, state, mu, n):
+        if self._warm:
+            def body(carry, _):
+                s, m = carry
+                s, m = self._step(s, m)
+                ke = kinetic_energy_virial(self.system, s.positions,
+                                           s.forces, self.temperature)
+                return (s, m), (jnp.sum(s.potential_energy), ke)
+
+            (state, mu), out = jax.lax.scan(body, (state, mu), None,
+                                            length=n)
+            return state, mu, out
+
         def body(s, _):
             s = self._step(s)
             ke = kinetic_energy_virial(self.system, s.positions, s.forces,
                                        self.temperature)
             return s, (jnp.sum(s.potential_energy), ke)
 
-        return jax.lax.scan(body, state, None, length=n)
+        state, out = jax.lax.scan(body, state, None, length=n)
+        return state, mu, out
 
     def step(self, n_steps, report_interval=None, check_health=True):
         """Advance n_steps; returns per-report-interval quantum estimators
@@ -481,7 +561,8 @@ class PIMDSimulation:
         remaining = n_steps
         while remaining > 0:
             k = min(report_interval, remaining)
-            self.state, (pes, kes) = self._chunk(self.state, n=k)
+            self.state, self._mu, (pes, kes) = self._chunk(
+                self.state, self._mu, n=k)
             pe_host = np.asarray(pes)
             if check_health and np.isnan(pe_host).any():
                 at = int(self.state.step) - k + int(np.argmax(np.isnan(pe_host)))
@@ -514,11 +595,17 @@ class PIMDSimulation:
     # -- checkpointing (pytree snapshot, md.Simulation parity) -------------
     def checkpoint(self):
         s = self.state
-        return dict(positions=np.asarray(s.positions),
-                    velocities=np.asarray(s.velocities),
-                    forces=np.asarray(s.forces), box=np.asarray(s.box),
-                    potential_energy=np.asarray(s.potential_energy),
-                    step=np.asarray(s.step), rng=np.asarray(s.rng))
+        ck = dict(positions=np.asarray(s.positions),
+                  velocities=np.asarray(s.velocities),
+                  forces=np.asarray(s.forces), box=np.asarray(s.box),
+                  potential_energy=np.asarray(s.potential_energy),
+                  step=np.asarray(s.step), rng=np.asarray(s.rng))
+        if self._mu is not None:
+            # warm-start dipoles ride along so resume is bitwise
+            # deterministic (they converge to the same fixed point either
+            # way, but only within target_epsilon)
+            ck['mu'] = np.asarray(self._mu)
+        return ck
 
     def load_checkpoint(self, ck):
         self.state = MDState(
@@ -528,6 +615,10 @@ class PIMDSimulation:
             potential_energy=jnp.asarray(ck['potential_energy']),
             box=jnp.asarray(ck['box']), step=jnp.asarray(ck['step']),
             rng=jnp.asarray(ck['rng']))
+        if self._warm:
+            self._mu = (jnp.asarray(ck['mu']) if 'mu' in ck else
+                        jnp.zeros((self._mu_beads, self.system.n_atoms, 3),
+                                  self.state.positions.dtype))
 
     def save_checkpoint(self, path):
         np.savez(path, **self.checkpoint())

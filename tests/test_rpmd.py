@@ -496,3 +496,67 @@ def test_split_respects_excluded_one_body():
     e_x, _ = ef_inter(pos)
     e_full, _, _, _ = pot._energy_forces_impl(pos)
     np.testing.assert_allclose(float(e_x), float(e_full), rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_pimd_scf_warm_start_matches_cold():
+    """The warm-started PIMD scan (per-bead induced dipoles threaded
+    through the carry as mu0) must reproduce the cold-start trajectory:
+    the SCF fixed point is independent of the starting guess within
+    target_epsilon, so per-step energies and positions agree to far
+    better than the integration accuracy. Mirrors the classical
+    SimulationConfig.scf_warm_start semantics (md/simulation.py)."""
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    fix = fixtures.load('water3_cluster')
+    sys_ = System.waters(3)
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff',
+                                  target_epsilon=1e-10))
+
+    def run(warm):
+        sim = rpmd.PIMDSimulation(pot, n_beads=2, dt=2e-5,
+                                  temperature=300.0, tau0=0.05, seed=7,
+                                  scf_warm_start=warm)
+        assert sim._warm is warm
+        sim.set_positions(pos, spread=0.001)
+        m = sim.step(6, report_interval=3)
+        return m, np.asarray(sim.state.positions)
+
+    m_w, pos_w = run(True)
+    m_c, pos_c = run(False)
+    np.testing.assert_allclose(m_w['potential_energy'],
+                               m_c['potential_energy'], rtol=1e-8)
+    np.testing.assert_allclose(pos_w, pos_c, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_pimd_warm_start_checkpoint_roundtrip():
+    """Warm-start dipoles ride along in the checkpoint, so resume is
+    bitwise deterministic (same contract as the classical driver)."""
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    fix = fixtures.load('water3_cluster')
+    sys_ = System.waters(3)
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff',
+                                  target_epsilon=1e-7))
+    sim = rpmd.PIMDSimulation(pot, n_beads=2, dt=2e-5, temperature=300.0,
+                              tau0=0.05, seed=3)
+    assert sim._warm
+    sim.set_positions(pos, spread=0.001)
+    sim.step(4)
+    ck = sim.checkpoint()
+    assert 'mu' in ck and np.any(ck['mu'])    # dipoles are live, not zeros
+
+    m1 = sim.step(3)
+    sim2 = rpmd.PIMDSimulation(pot, n_beads=2, dt=2e-5, temperature=300.0,
+                               tau0=0.05, seed=3)
+    sim2.load_checkpoint(ck)
+    m2 = sim2.step(3)
+    np.testing.assert_allclose(m1['total_energy'], m2['total_energy'],
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(sim.state.positions),
+                                  np.asarray(sim2.state.positions))
