@@ -273,6 +273,46 @@ def _steady(bench, carry, therm_steps, steady_steps):
         neighbor_overflow=bool(ovf or diag['neighbor_overflow'] or not cap_ok))
 
 
+def _pimd_figure(n_beads=8, contraction=1):
+    """Beyond-parity flagship extra: ring-polymer PIMD throughput at the
+    production operating point (8 beads contracted to the centroid -
+    Markland & Manolopoulos 2008; quantum nuclei at ~classical cost).
+    Same box/fixture as the headline; SCF warm start threads per-bead
+    dipoles through the scan. Never allowed to fail the headline metric
+    (wrapped in try/except by the caller); disable with BENCH_PIMD=0."""
+    import jax.numpy as jnp
+
+    from mbpol_openmm_plugin_tpu.md.rpmd import PIMDSimulation
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+    from mbpol_openmm_plugin_tpu.system import System, compute_virtual_sites
+
+    fix = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'tests', 'fixtures',
+                               'water256_integration_test.npz'))
+    box = [19.3996888399961804 / 10.0] * 3
+    sys_ = System.waters(256, box=box)
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions'],
+                                                  jnp.float32))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
+                                  target_epsilon=1e-3, max_iterations=200,
+                                  nlist_skin=0.02))
+    pot.tune_capacities(pos)
+    sim = PIMDSimulation(pot, n_beads=n_beads, dt=1e-4, temperature=300.0,
+                         tau0=0.1, contraction=contraction, seed=0)
+    sim.set_positions(pos, spread=0.002)
+    n = int(os.environ.get('BENCH_PIMD_STEPS', 100))
+    sim.step(n, report_interval=n)            # compile + thermalize
+    t0 = time.time()
+    m = sim.step(n, report_interval=n)
+    elapsed = time.time() - t0
+    return dict(steps_per_second=round(n / elapsed, 3),
+                n_beads=n_beads, contraction=contraction, n_steps=n,
+                quantum_total_energy_kJmol=round(
+                    float(m['total_energy'][-1]), 2),
+                nan_detected=bool(np.isnan(
+                    np.asarray(m['total_energy'])).any()))
+
+
 def main():
     import jax
     carry0, bench, e0 = build(32, scf_mode='sor')
@@ -296,6 +336,13 @@ def main():
     carry_a, bench_a, _ = build(32, scf_mode='aspc')
     mu_hist_a = jnp.tile(mu_hist[:1], (bench_a.hist_len, 1, 1))
     _, aspc = _steady(bench_a, (st, mu_hist_a), 2 * N_STEPS, STEADY_STEPS)
+
+    pimd = None
+    if os.environ.get('BENCH_PIMD', '1') != '0':
+        try:
+            pimd = _pimd_figure()
+        except Exception as exc:      # the extra must never kill the headline
+            pimd = dict(error=repr(exc)[:200])
 
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  'BASELINE_LOCAL.json')
@@ -321,6 +368,7 @@ def main():
                    steady_state_aspc=aspc,
                    aspc_steady_state_steps_per_second=aspc['steps_per_second'],
                    aspc_k=ASPC_K,
+                   pimd=pimd,
                    neighbor_overflow=bool(sor['neighbor_overflow']
                                           or aspc['neighbor_overflow']),
                    nan_detected=bool(np.isnan(pes).any()

@@ -560,3 +560,35 @@ def test_pimd_warm_start_checkpoint_roundtrip():
                                rtol=1e-12)
     np.testing.assert_array_equal(np.asarray(sim.state.positions),
                                   np.asarray(sim2.state.positions))
+
+
+@pytest.mark.slow
+def test_pimd_simulation_mesh_warm_matches_unsharded():
+    """PIMDSimulation with mesh + SCF warm start: the bead-sharded
+    trajectory (warm dipole carry sharded alongside the beads) matches
+    the unsharded one - the warm-start aux must not break the bitwise
+    mesh independence pinned for the plain step."""
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+    from mbpol_openmm_plugin_tpu.parallel.mesh import make_mesh
+
+    fix = fixtures.load('water3_cluster')
+    sys_ = System.waters(3)
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff',
+                                  target_epsilon=1e-8))
+
+    def run(mesh):
+        sim = rpmd.PIMDSimulation(pot, n_beads=8, dt=2e-5,
+                                  temperature=300.0, tau0=0.05, seed=11,
+                                  mesh=mesh)
+        assert sim._warm
+        sim.set_positions(pos, spread=0.001)
+        m = sim.step(4, report_interval=2)
+        return m, np.asarray(sim.state.positions)
+
+    m0, p0 = run(None)
+    m1, p1 = run(make_mesh(8))
+    np.testing.assert_allclose(p1, p0, atol=1e-10)
+    np.testing.assert_allclose(m1['total_energy'], m0['total_energy'],
+                               rtol=1e-9)
