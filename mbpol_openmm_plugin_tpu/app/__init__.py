@@ -26,5 +26,6 @@ from mbpol_openmm_plugin_tpu.app.pdbfile import PDBFile, PDBReporter  # noqa: F4
 from mbpol_openmm_plugin_tpu.app.simulation import (AndersenThermostat,  # noqa: F401
                                                     LangevinIntegrator,
                                                     LocalEnergyMinimizer,
-                                                    MonteCarloBarostat, Simulation,
+                                                    MonteCarloBarostat,
+                                                    PIMDCentroidWriter, Simulation,
                                                     StateDataReporter, VerletIntegrator)

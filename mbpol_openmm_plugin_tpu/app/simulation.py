@@ -74,6 +74,7 @@ class State:
 class Context:
     def __init__(self, simulation):
         self._sim = simulation
+        self._vsites = None
 
     def setPositions(self, positions):
         if isinstance(positions, unit.Quantity):
@@ -107,7 +108,16 @@ class Context:
         core = self._sim._core
         st = core.state
         ke = I.kinetic_energy(core.system, st.velocities)
-        return State(st.positions, st.velocities, st.forces,
+        # Virtual M-sites carry zero mass, so the integrator never moves
+        # them; recompute so reported/written positions are current (the
+        # potential recomputes internally each evaluation either way).
+        if self._vsites is None:
+            import functools
+            import jax
+            from mbpol_openmm_plugin_tpu.system import compute_virtual_sites
+            self._vsites = jax.jit(
+                functools.partial(compute_virtual_sites, core.system))
+        return State(self._vsites(st.positions), st.velocities, st.forces,
                      st.potential_energy, ke, st.box)
 
 
@@ -189,6 +199,37 @@ class StateDataReporter:
             self._wrote_header = True
         self._fh.write(self.sep.join(values) + '\n')
         self._fh.flush()
+
+
+class PIMDCentroidWriter:
+    """Adapts a classical trajectory reporter (PDBReporter / NetCDFReporter)
+    to PIMD bead-centroid frames.
+
+    Pass an instance as ``frame_callback`` to ``PIMDSimulation.step``: it is
+    invoked at each report boundary with (step, centroid_nm, box) and calls
+    the wrapped reporter's ``report`` with a duck-typed simulation/state
+    pair, honoring the reporter's own ``reportInterval``. The centroid of a
+    ring polymer is the quantum particle's position estimator, so the
+    resulting trajectory feeds the same analysis tools as classical MD."""
+
+    def __init__(self, reporter, topology, dt):
+        self.reporter = reporter
+        self.topology = topology
+        self._dt = float(dt)
+
+    def __call__(self, step, centroid_nm, box):
+        import types
+        interval = getattr(self.reporter, 'reportInterval', 1)
+        if interval > 1 and step % interval:
+            return
+        z = np.zeros_like(centroid_nm)
+        state = State(centroid_nm, z, z, 0.0, 0.0, box)
+        core = types.SimpleNamespace(
+            state=types.SimpleNamespace(step=step, box=box),
+            system=None)
+        sim = types.SimpleNamespace(topology=self.topology, _core=core,
+                                    _dt=self._dt)
+        self.reporter.report(sim, state)
 
 
 class LocalEnergyMinimizer:

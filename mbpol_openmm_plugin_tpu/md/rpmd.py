@@ -548,13 +548,20 @@ class PIMDSimulation:
         state, out = jax.lax.scan(body, state, None, length=n)
         return state, mu, out
 
-    def step(self, n_steps, report_interval=None, check_health=True):
+    def step(self, n_steps, report_interval=None, check_health=True,
+             frame_callback=None):
         """Advance n_steps; returns per-report-interval quantum estimators
         (kJ/mol). With check_health, raises RuntimeError on NaN (NaN
         propagates through the PE trace, locating the failing step) or on
         SCF non-convergence / neighbor-list overflow at the report
         boundary - one diagnostic evaluation of bead 0, the same
-        report-boundary scheme as md.Simulation.step."""
+        report-boundary scheme as md.Simulation.step.
+
+        frame_callback(step, centroid_nm, box): called at each report
+        boundary with the bead-centroid positions (virtual M-sites
+        recomputed, [natoms, 3] nm) - wire a trajectory writer here
+        (app.PIMDCentroidWriter adapts the classical PDB/NetCDF
+        reporters)."""
         report_interval = report_interval or n_steps
         rows = dict(step=[], potential_energy=[], kinetic_virial=[],
                     total_energy=[])
@@ -589,6 +596,13 @@ class PIMDSimulation:
             rows['potential_energy'].append(pe_mean)
             rows['kinetic_virial'].append(ke)
             rows['total_energy'].append(pe_mean + ke)
+            if frame_callback is not None:
+                from mbpol_openmm_plugin_tpu.system import \
+                    compute_virtual_sites
+                centroid = compute_virtual_sites(
+                    self.system, jnp.mean(self.state.positions, axis=0))
+                frame_callback(int(self.state.step), np.asarray(centroid),
+                               np.asarray(self.state.box))
             remaining -= k
         return {k: np.asarray(v) for k, v in rows.items()}
 

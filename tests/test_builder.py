@@ -76,7 +76,9 @@ def test_builder_pimd_end_to_end(tmp_path):
     src = (src.replace('n_beads = 8', 'n_beads = 2')
               .replace('equilibration_steps = 100', 'equilibration_steps = 1')
               .replace('production_steps = 400', 'production_steps = 2')
-              .replace('save_energy_every = 100', 'save_energy_every = 1'))
+              .replace('save_energy_every = 100', 'save_energy_every = 1')
+              .replace('save_positions_every = 100',
+                       'save_positions_every = 1'))
     ini_text.write_text(src)
     script = tmp_path / 'run_pimd.py'
     r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
@@ -90,3 +92,7 @@ def test_builder_pimd_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert 'KE_virial' in r.stdout or 'kcalmol' in r.stdout
     assert (tmp_path / 'water14_pimd_pimd.npz').exists()
+    # centroid trajectory (save_positions_every): PDB MODEL frames of the
+    # bead-centroid positions via app.PIMDCentroidWriter
+    traj = (tmp_path / 'water14_pimd_centroid_trajectory.pdb').read_text()
+    assert traj.count('MODEL') == 2 and 'HETATM' in traj
