@@ -208,7 +208,7 @@ def initial_state(system: System, positions, n_beads, temperature_k, key,
 
 def make_rpmd_step(system: System, energy_forces_fn, n_beads, dt,
                    temperature_k, tau0=None, thermostat='pile', mesh=None,
-                   batched=False, with_aux=False):
+                   batched=False, with_aux=False, with_box=False):
     """Returns a jittable `step(state) -> state` doing one BAOAB step.
 
     energy_forces_fn: positions [natoms, 3] -> (E, F) for ONE bead; it is
@@ -272,7 +272,15 @@ def make_rpmd_step(system: System, energy_forces_fn, n_beads, dt,
     # returned step maps (state, aux) -> (state, aux') - used to thread
     # SCF warm-start dipoles through the scan (the fixed point, and hence
     # the physics, is unchanged; only the iteration count drops)
-    batched_ef = energy_forces_fn if batched else jax.vmap(energy_forces_fn)
+    # with_box=True: the fn takes the (dynamic) box as its LAST argument
+    # and step() feeds state.box through - the NPT path, where the box is
+    # trajectory state (rpmd_barostat_move) rather than a static constant
+    if batched:
+        batched_ef = energy_forces_fn
+    else:
+        in_axes = (0,) + ((0,) if with_aux else ()) + \
+            ((None,) if with_box else ())
+        batched_ef = jax.vmap(energy_forces_fn, in_axes=in_axes)
 
     def step(state: MDState, aux=None):
         dtype = state.positions.dtype
@@ -316,14 +324,15 @@ def make_rpmd_step(system: System, energy_forces_fn, n_beads, dt,
         p = shard_beads(jnp.tensordot(Cj.T, P, axes=(1, 0)))
         q = shard_beads(jnp.tensordot(Cj.T, Q, axes=(1, 0)))
 
+        box_args = (state.box,) if with_box else ()
         if with_aux:
             if not batched:
                 # bead-leading aux (e.g. per-bead warm-start dipoles)
                 # follows the bead sharding
                 aux = jax.tree_util.tree_map(shard_beads, aux)
-            e, f, aux = batched_ef(q, aux)
+            e, f, aux = batched_ef(q, aux, *box_args)
         else:
-            e, f = batched_ef(q)
+            e, f = batched_ef(q, *box_args)
         f = shard_beads(f)
         p = p + 0.5 * dt * f
         new = dataclasses.replace(
@@ -332,6 +341,64 @@ def make_rpmd_step(system: System, energy_forces_fn, n_beads, dt,
         return (new, aux) if with_aux else new
 
     return step
+
+
+def rpmd_barostat_move(system: System, bead_energy_fn, state: MDState,
+                       temperature_k, pressure_bar, scale_nm3=None):
+    """One MC volume move on the ring polymer (centroid scaling NPT).
+
+    Each molecule's beads are rigidly translated so the molecule's
+    ring-polymer centroid scales isotropically with the box; intra-bead
+    geometry AND the ring-spring energy are invariant (the shift is
+    identical on every bead), so the Metropolis weight is
+
+        w = mean_b dU_b + P dV - N_mol kT ln(V'/V)
+
+    (beta_n sum_b dU_b = beta mean_b dU_b). This reduces exactly to
+    integrators.monte_carlo_barostat_move (OpenMM MonteCarloBarostat
+    semantics, openmmapi Force surface) at n_beads = 1.
+
+    bead_energy_fn(q, box) -> per-bead potential energies in the SAME
+    convention as the step function's `potential_energy` (for ring-polymer
+    contraction that is intra_b + (scale/n) sum_c U_inter,c - the mean
+    over beads is the effective RPC potential either way).
+    scale_nm3: volume move size; default 1% of the current volume.
+    Returns (state', accepted)."""
+    kT = units.BOLTZMANN_KJ_MOL_K * temperature_k
+    p_int = pressure_bar * 0.0602214076   # bar -> kJ/mol/nm^3
+    key, k1, k2 = jax.random.split(state.rng, 3)
+    vol = state.box[0] * state.box[1] * state.box[2]
+    if scale_nm3 is None:
+        scale_nm3 = 0.01 * vol
+    dv = (jax.random.uniform(k1) * 2.0 - 1.0) * scale_nm3
+    new_vol = vol + dv
+    s = (new_vol / vol) ** (1.0 / 3.0)
+
+    mol = jnp.asarray(system.mol_index)
+    nmol = int(np.asarray(system.mol_index).max()) + 1
+    m = jnp.asarray(system.masses, state.positions.dtype)
+    mol_mass = jax.ops.segment_sum(m, mol, nmol)
+    # ring-polymer molecular centroid: mass-weighted over atoms, mean over
+    # beads (massless M-sites contribute nothing but ride the shift)
+    mw = m[None, :, None] * state.positions                  # [n, na, 3]
+    cent_b = jax.vmap(lambda x: jax.ops.segment_sum(x, mol, nmol))(mw)
+    centroid = jnp.mean(cent_b, axis=0) / mol_mass[:, None]  # [nmol, 3]
+    shift = centroid * (s - 1.0)
+    pos_new = state.positions + shift[mol][None]
+    box_new = state.box * s
+
+    e_new = bead_energy_fn(pos_new, box_new)
+    e_old = state.potential_energy
+    w = (jnp.mean(e_new - e_old) + p_int * dv
+         - nmol * kT * jnp.log(new_vol / vol))
+    accept = (w <= 0) | (jax.random.uniform(k2) < jnp.exp(-w / kT))
+
+    pos = jnp.where(accept, pos_new, state.positions)
+    box = jnp.where(accept, box_new, state.box)
+    e = jnp.where(accept, e_new, e_old)
+    state = dataclasses.replace(state, positions=pos, box=box,
+                                potential_energy=e, rng=key)
+    return state, accept
 
 
 def make_rpmd_potential_step(potential, n_beads, dt, temperature_k,
@@ -377,26 +444,26 @@ def mbpol_intra_inter_split(potential):
         if hasattr(potential, attr):
             setattr(pot_inter, attr, getattr(potential, attr))
 
-    def e_intra(p):
+    def e_intra(p, box=None):
         # image hydrogens next to their O exactly like the full potential
         # (_energy_forces_impl) so split-across-boundary inputs don't read
-        # as huge monomer distortions
-        p = make_molecules_whole(sys_, p)
+        # as huge monomer distortions; box=None -> the system's static box
+        p = make_molecules_whole(sys_, p, box=box)
         return jnp.sum(one_body_energy(water_positions(sys_, p)))
 
     if has_one_body:
-        def ef_intra(p):
-            e, g = jax.value_and_grad(e_intra)(p)
+        def ef_intra(p, box=None):
+            e, g = jax.value_and_grad(e_intra)(p, box)
             return e, -g
     else:
         # the parent excludes one_body: the intra channel is empty (the
         # full term set is evaluated on the contracted beads), keeping the
         # n_contracted == n_beads exactness contract
-        def ef_intra(p):
+        def ef_intra(p, box=None):
             return jnp.zeros((), p.dtype), jnp.zeros_like(p)
 
-    def ef_inter(p):
-        e, f, parts, diag = pot_inter._energy_forces_impl(p)
+    def ef_inter(p, box=None):
+        e, f, parts, diag = pot_inter._energy_forces_impl(p, box=box)
         return e, f
 
     ef_inter._potential = pot_inter     # for warm-start plumbing
@@ -426,7 +493,8 @@ class PIMDSimulation:
 
     def __init__(self, potential, n_beads, dt=1e-4, temperature=300.0,
                  tau0=0.1, thermostat='pile', contraction=None, seed=0,
-                 mesh=None, scf_warm_start=True):
+                 mesh=None, scf_warm_start=True, barostat_pressure=None,
+                 barostat_interval=25):
         self.potential = potential
         self.system = potential.system
         self.n_beads = int(n_beads)
@@ -434,6 +502,19 @@ class PIMDSimulation:
         self.temperature = float(temperature)
         self.contraction = contraction
         self._key = jax.random.PRNGKey(seed)
+        # NPT: MC volume moves on the ring polymer every barostat_interval
+        # steps (rpmd_barostat_move: centroid scaling, spring-invariant).
+        # The box becomes trajectory state, so the per-bead evaluations
+        # take it as a traced argument - which also means the static-box
+        # Pallas electrostatics kernels give way to the XLA path, exactly
+        # like the classical NPT driver (models/pme.py static-box guard).
+        self._npt = barostat_pressure is not None
+        if self._npt:
+            if not potential.system.periodic:
+                raise ValueError('barostat_pressure requires a periodic '
+                                 'system (PME box)')
+            self.barostat_pressure = float(barostat_pressure)
+            self.barostat_interval = max(int(barostat_interval), 1)
         # SCF warm start: thread per-bead induced dipoles through the scan
         # (same fixed point, fewer iterations - md.Simulation semantics,
         # cf. SimulationConfig.scf_warm_start). Not applicable under 'aspc'
@@ -454,38 +535,68 @@ class PIMDSimulation:
             ef_intra, ef_inter = mbpol_intra_inter_split(potential)
             self._ef_all = contracted_energy_forces(
                 ef_inter, ef_intra, n_beads, contraction)
+            pot_inter = ef_inter._potential
+            n, nc = int(n_beads), int(contraction)
+            Tm = contraction_matrix(n, nc)
+            scale = n / nc
+
+            def combine(q, e_c, f_c, e_i, f_i):
+                Tj = jnp.asarray(Tm, q.dtype)
+                f = f_i + scale * jnp.tensordot(Tj.T, f_c, axes=(1, 0))
+                e = e_i + (scale / n) * jnp.sum(e_c)
+                return e, f
+
+            def to_contracted(q):
+                return jnp.tensordot(jnp.asarray(Tm, q.dtype), q,
+                                     axes=(1, 0))
+
             if self._warm:
-                pot_inter = ef_inter._potential
-                n, nc = int(n_beads), int(contraction)
-                Tm = contraction_matrix(n, nc)
-                scale = n / nc
-                b_intra = jax.vmap(ef_intra)
-
-                def inter_one(p, mu0):
+                def inter_one(p, mu0, box=None):
                     e, f, parts, diag = pot_inter._energy_forces_impl(
-                        p, mu0)
+                        p, mu0, box=box)
                     return e, f, diag.get('induced_dipoles', mu0)
-                b_inter = jax.vmap(inter_one)
+                b_intra = jax.vmap(ef_intra, in_axes=(0, None))
+                b_inter = jax.vmap(inter_one, in_axes=(0, 0, None))
 
-                def ef_aux(q, mu):      # mu: [nc, natoms, 3]
-                    Tj = jnp.asarray(Tm, q.dtype)
-                    qc = jnp.tensordot(Tj, q, axes=(1, 0))
-                    e_c, f_c, mu_new = b_inter(qc, mu)
-                    e_i, f_i = b_intra(q)
-                    f = f_i + scale * jnp.tensordot(Tj.T, f_c, axes=(1, 0))
-                    e = e_i + (scale / n) * jnp.sum(e_c)
+                def ef_aux(q, mu, box=None):    # mu: [nc, natoms, 3]
+                    qc = to_contracted(q)
+                    e_c, f_c, mu_new = b_inter(qc, mu, box)
+                    e_i, f_i = b_intra(q, box)
+                    e, f = combine(q, e_c, f_c, e_i, f_i)
                     return e, f, mu_new
 
-                self._mu_beads = int(contraction)
+                self._mu_beads = nc
+                if self._npt:
+                    self._ef_box = ef_aux
                 self._step = make_rpmd_step(
                     potential.system, ef_aux, n_beads, dt, temperature,
                     tau0=tau0, thermostat=thermostat, batched=True,
-                    with_aux=True)
+                    with_aux=True, with_box=self._npt)
             else:
-                self._step = make_rpmd_step(
-                    potential.system, self._ef_all, n_beads, dt,
-                    temperature, tau0=tau0, thermostat=thermostat,
-                    batched=True)
+                if self._npt:
+                    def inter_e(p, box):
+                        e, f, parts, diag = pot_inter._energy_forces_impl(
+                            p, box=box)
+                        return e, f
+                    b_intra = jax.vmap(ef_intra, in_axes=(0, None))
+                    b_inter = jax.vmap(inter_e, in_axes=(0, None))
+
+                    def ef_box(q, box):
+                        qc = to_contracted(q)
+                        e_c, f_c = b_inter(qc, box)
+                        e_i, f_i = b_intra(q, box)
+                        return combine(q, e_c, f_c, e_i, f_i)
+
+                    self._ef_box = ef_box
+                    self._step = make_rpmd_step(
+                        potential.system, ef_box, n_beads, dt,
+                        temperature, tau0=tau0, thermostat=thermostat,
+                        batched=True, with_box=True)
+                else:
+                    self._step = make_rpmd_step(
+                        potential.system, self._ef_all, n_beads, dt,
+                        temperature, tau0=tau0, thermostat=thermostat,
+                        batched=True)
         else:
             def ef_all(q):
                 def one(p):
@@ -494,16 +605,34 @@ class PIMDSimulation:
                 return jax.vmap(one)(q)
             self._ef_all = ef_all
             if self._warm:
-                def one_aux(p, mu0):
+                def one_aux(p, mu0, box=None):
                     e, f, parts, diag = potential._energy_forces_impl(
-                        p, mu0)
+                        p, mu0, box=box)
                     return e, f, diag.get('induced_dipoles', mu0)
 
                 self._mu_beads = self.n_beads
+                if self._npt:
+                    self._ef_box = jax.vmap(one_aux, in_axes=(0, 0, None))
+                    self._step = make_rpmd_step(
+                        potential.system, self._ef_box, n_beads, dt,
+                        temperature, tau0=tau0, thermostat=thermostat,
+                        mesh=mesh, batched=True, with_aux=True,
+                        with_box=True)
+                else:
+                    self._step = make_rpmd_step(
+                        potential.system, one_aux, n_beads, dt,
+                        temperature, tau0=tau0, thermostat=thermostat,
+                        mesh=mesh, with_aux=True)
+            elif self._npt:
+                def one_box(p, box):
+                    e, f, parts, diag = potential._energy_forces_impl(
+                        p, box=box)
+                    return e, f
+                self._ef_box = jax.vmap(one_box, in_axes=(0, None))
                 self._step = make_rpmd_step(
-                    potential.system, one_aux, n_beads, dt, temperature,
-                    tau0=tau0, thermostat=thermostat, mesh=mesh,
-                    with_aux=True)
+                    potential.system, self._ef_box, n_beads, dt,
+                    temperature, tau0=tau0, thermostat=thermostat,
+                    mesh=mesh, batched=True, with_box=True)
             else:
                 self._step = make_rpmd_potential_step(
                     potential, n_beads, dt, temperature, tau0=tau0,
@@ -517,16 +646,26 @@ class PIMDSimulation:
         self.state = initial_state(self.system, pos, self.n_beads,
                                    self.temperature, self._key, box=box,
                                    spread=spread)
-        e, f = jax.jit(self._ef_all)(self.state.positions)
-        self.state = dataclasses.replace(self.state, forces=f,
-                                         potential_energy=e)
         if self._warm:
             # warm-start dipoles: zeros converge to the same fixed point
             # (only the very first step pays a few extra SCF iterations)
             self._mu = jnp.zeros((self._mu_beads, self.system.n_atoms, 3),
                                  pos.dtype)
+        if self._npt:
+            # seed through the box-aware path (set_positions may override
+            # the static system box)
+            if self._warm:
+                e, f, _ = jax.jit(self._ef_box)(
+                    self.state.positions, self._mu, self.state.box)
+            else:
+                e, f = jax.jit(self._ef_box)(self.state.positions,
+                                             self.state.box)
+        else:
+            e, f = jax.jit(self._ef_all)(self.state.positions)
+        self.state = dataclasses.replace(self.state, forces=f,
+                                         potential_energy=e)
 
-    def _chunk_impl(self, state, mu, n):
+    def _scan_steps(self, state, mu, k):
         if self._warm:
             def body(carry, _):
                 s, m = carry
@@ -536,7 +675,7 @@ class PIMDSimulation:
                 return (s, m), (jnp.sum(s.potential_energy), ke)
 
             (state, mu), out = jax.lax.scan(body, (state, mu), None,
-                                            length=n)
+                                            length=k)
             return state, mu, out
 
         def body(s, _):
@@ -545,7 +684,55 @@ class PIMDSimulation:
                                        self.temperature)
             return s, (jnp.sum(s.potential_energy), ke)
 
-        state, out = jax.lax.scan(body, state, None, length=n)
+        state, out = jax.lax.scan(body, state, None, length=k)
+        return state, mu, out
+
+    def _baro_move(self, state, mu):
+        if self._warm:
+            def e_fn(q, box):
+                return self._ef_box(q, mu, box)[0]
+        else:
+            def e_fn(q, box):
+                return self._ef_box(q, box)[0]
+        state, _accepted = rpmd_barostat_move(
+            self.system, e_fn, state, self.temperature,
+            self.barostat_pressure)
+        return state
+
+    def _chunk_impl(self, state, mu, n):
+        if not self._npt:
+            return self._scan_steps(state, mu, n)
+        bi = self.barostat_interval
+        if n <= bi:
+            state, mu, out = self._scan_steps(state, mu, n)
+            return self._baro_move(state, mu), mu, out
+        if n % bi == 0:
+            # one traced group body (inner scan + volume move), scanned
+            # n/bi times - keeps the compiled graph size independent of
+            # the report interval
+            def gbody(carry, _):
+                s, m = carry
+                s, m, out = self._scan_steps(s, m, bi)
+                s = self._baro_move(s, m)
+                return (s, m), out
+
+            (state, mu), outs = jax.lax.scan(gbody, (state, mu), None,
+                                             length=n // bi)
+            out = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), outs)
+            return state, mu, out
+        # ragged chunk: unrolled groups (pick report intervals that are
+        # multiples of barostat_interval to avoid the duplicate traces)
+        outs, done = [], 0
+        while done < n:
+            k = min(bi, n - done)
+            state, mu, out = self._scan_steps(state, mu, k)
+            state = self._baro_move(state, mu)
+            done += k
+            outs.append(out)
+        out = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs]),
+            *outs)
         return state, mu, out
 
     def step(self, n_steps, report_interval=None, check_health=True,
@@ -565,6 +752,8 @@ class PIMDSimulation:
         report_interval = report_interval or n_steps
         rows = dict(step=[], potential_energy=[], kinetic_virial=[],
                     total_energy=[])
+        if self._npt:
+            rows['volume'] = []
         remaining = n_steps
         while remaining > 0:
             k = min(report_interval, remaining)
@@ -576,8 +765,18 @@ class PIMDSimulation:
                 raise RuntimeError(f'PIMD health check failed: NaN potential '
                                    f'energy at step {at}')
             if check_health:
-                _, _, _, diag = self.potential._energy_forces(
-                    self.state.positions[0])
+                if self._npt:
+                    # the box is trajectory state: the diagnostic eval must
+                    # image/list with the current box, not the static one
+                    if not hasattr(self, '_health_eval'):
+                        self._health_eval = jax.jit(
+                            lambda p, box: self.potential.
+                            _energy_forces_impl(p, box=box))
+                    _, _, _, diag = self._health_eval(
+                        self.state.positions[0], self.state.box)
+                else:
+                    _, _, _, diag = self.potential._energy_forces(
+                        self.state.positions[0])
                 bad = {kk: diag[kk] for kk in
                        ('converged', 'pair_overflow', 'triplet_overflow',
                         'pair_eval_overflow', 'triplet_eval_overflow',
@@ -596,6 +795,9 @@ class PIMDSimulation:
             rows['potential_energy'].append(pe_mean)
             rows['kinetic_virial'].append(ke)
             rows['total_energy'].append(pe_mean + ke)
+            if self._npt:
+                b = np.asarray(self.state.box)
+                rows['volume'].append(float(b[0] * b[1] * b[2]))
             if frame_callback is not None:
                 from mbpol_openmm_plugin_tpu.system import \
                     compute_virtual_sites

@@ -96,3 +96,42 @@ def test_builder_pimd_end_to_end(tmp_path):
     # bead-centroid positions via app.PIMDCentroidWriter
     traj = (tmp_path / 'water14_pimd_centroid_trajectory.pdb').read_text()
     assert traj.count('MODEL') == 2 and 'HETATM' in traj
+
+
+def test_builder_renders_pimd_npt(tmp_path):
+    """[pimd] + [barostat] renders an NPT ring-polymer driver (pressure
+    converted atm -> bar as in the classical MonteCarloBarostat branch)."""
+    ini = tmp_path / 'npt_pimd.ini'
+    ini.write_text('''
+[system]
+pdb_filename = water256.pdb
+simulation_name = npt_pimd
+nonbonded = PME
+pme_box_size_nm = 1.94
+temperature_k = 300
+
+[pimd]
+n_beads = 8
+contraction = 1
+
+[barostat]
+pressure_atm = 1
+barostat_interval = 25
+
+[integrator]
+timestep_fs = 0.1
+production_steps = 100
+
+[logging]
+save_energy_every = 50
+save_positions_every = 50
+''')
+    r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                        str(ini)], capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO))
+    assert r.returncode == 0, r.stderr
+    assert 'barostat_pressure=float(1) * 1.01325' in r.stdout
+    assert 'barostat_interval=int(25)' in r.stdout
+    assert 'PIMDCentroidWriter' in r.stdout
+    import ast
+    ast.parse(r.stdout)

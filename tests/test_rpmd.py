@@ -592,3 +592,96 @@ def test_pimd_simulation_mesh_warm_matches_unsharded():
     np.testing.assert_allclose(p1, p0, atol=1e-10)
     np.testing.assert_allclose(m1['total_energy'], m0['total_energy'],
                                rtol=1e-9)
+
+
+def test_rpmd_barostat_move_geometry_invariance():
+    """Forced-accept NPT volume move: the box scales isotropically and
+    every atom of a molecule - on every bead - gets the IDENTICAL shift
+    (centroid scaling), so intra-bead geometry and the ring-spring energy
+    are exactly invariant."""
+    import fixtures
+
+    fix = fixtures.load('water3_cluster')
+    sys_ = System.waters(3, box=[2.0, 2.0, 2.0])
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    state = rpmd.initial_state(sys_, pos, 4, 300.0, jax.random.PRNGKey(0),
+                               spread=0.003)
+    state = dataclasses.replace(state,
+                                potential_energy=jnp.zeros(4, pos.dtype))
+
+    def e_fn(q, box):
+        return jnp.full((4,), -1e12, q.dtype)   # always accept
+
+    new, acc = rpmd.rpmd_barostat_move(sys_, e_fn, state, 300.0, 1.0)
+    assert bool(acc)
+    s = float(new.box[0]) / float(state.box[0])
+    assert s != 1.0
+    np.testing.assert_allclose(np.asarray(new.box),
+                               np.asarray(state.box) * s, rtol=1e-12)
+    d = np.asarray(new.positions - state.positions)     # [n, natoms, 3]
+    mol = np.asarray(sys_.mol_index)
+    for mi in range(int(mol.max()) + 1):
+        dm = d[:, mol == mi]                            # [n, na_mol, 3]
+        np.testing.assert_allclose(
+            dm, np.broadcast_to(dm[0, 0], dm.shape), atol=1e-12)
+    # intra-bead geometry exactly preserved
+    for mi in range(int(mol.max()) + 1):
+        sel = mol == mi
+        g_old = np.asarray(state.positions)[:, sel]
+        g_new = np.asarray(new.positions)[:, sel]
+        np.testing.assert_allclose(g_new - g_new[:, :1],
+                                   g_old - g_old[:, :1], atol=1e-12)
+
+
+@pytest.mark.slow
+def test_pimd_npt_contracted_runs():
+    """NPT-PIMD (MC volume moves on the ring polymer) over the contracted
+    bulk PME path: box becomes trajectory state, metrics report volume."""
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    fix = fixtures.load('water50')
+    sys_ = System.waters(50, box=[1.8, 1.8, 1.8])
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.45,
+                                  target_epsilon=1e-5))
+    pot.tune_capacities(pos)
+    sim = rpmd.PIMDSimulation(pot, n_beads=2, dt=2e-5, temperature=300.0,
+                              tau0=0.05, contraction=1, seed=6,
+                              barostat_pressure=1.0, barostat_interval=1)
+    sim.set_positions(pos, spread=0.0005)
+    m = sim.step(4, report_interval=2)
+    assert np.all(np.isfinite(m['total_energy']))
+    assert 'volume' in m and np.all(m['volume'] > 0)
+    assert np.all(np.isfinite(m['volume']))
+
+
+@pytest.mark.slow
+def test_pimd_npt_full_beads_runs():
+    """NPT-PIMD without contraction (box-aware per-bead warm-start path);
+    n_beads=1 is the classical limit, kept cheap for CI."""
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    fix = fixtures.load('water50')
+    sys_ = System.waters(50, box=[1.8, 1.8, 1.8])
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.45,
+                                  target_epsilon=1e-5))
+    pot.tune_capacities(pos)
+    sim = rpmd.PIMDSimulation(pot, n_beads=1, dt=2e-5, temperature=300.0,
+                              tau0=0.05, seed=6, barostat_pressure=1.0,
+                              barostat_interval=2)
+    sim.set_positions(pos, spread=0.0)
+    m = sim.step(4, report_interval=4)
+    assert np.all(np.isfinite(m['total_energy']))
+    assert 'volume' in m and np.all(m['volume'] > 0)
+
+
+def test_pimd_npt_rejects_nonperiodic():
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    sys_ = System.waters(3)
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff'))
+    with pytest.raises(ValueError):
+        rpmd.PIMDSimulation(pot, n_beads=2, barostat_pressure=1.0)
