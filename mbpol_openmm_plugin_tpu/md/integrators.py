@@ -150,3 +150,47 @@ def monte_carlo_barostat_move(system: System, energy_fn, state: MDState,
     state = dataclasses.replace(state, positions=pos, box=box,
                                 potential_energy=e, rng=key)
     return state, accept
+
+
+def barostat_scale_init(box, dtype=None):
+    """Initial adaptive volume-move state: (scale_nm3, attempted, accepted).
+    OpenMM MonteCarloBarostatImpl convention: scale starts at 1% of V."""
+    box = jnp.asarray(box)
+    dtype = dtype or box.dtype
+    vol = box[0] * box[1] * box[2]
+    return (jnp.asarray(0.01 * vol, dtype), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32))
+
+
+def barostat_scale_update(baro, accept, volume):
+    """OpenMM MonteCarloBarostatImpl.cpp acceptance adaptation: every >=10
+    attempts, shrink the move size /1.1 when the acceptance fraction is
+    below 0.25, grow it x1.1 (capped at 0.3 V) above 0.75 - counters reset
+    only when an adjustment fires. Pure jnp, scan-carry friendly."""
+    scale, att, acc = baro
+    att = att + 1
+    acc = acc + accept.astype(jnp.int32)
+    attf = att.astype(scale.dtype)
+    accf = acc.astype(scale.dtype)
+    low = accf < 0.25 * attf
+    high = accf > 0.75 * attf
+    fire = (att >= 10) & (low | high)
+    new_scale = jnp.where(low, scale / 1.1,
+                          jnp.minimum(scale * 1.1, 0.3 * volume))
+    scale = jnp.where(fire, new_scale, scale)
+    att = jnp.where(fire, 0, att)
+    acc = jnp.where(fire, 0, acc)
+    return (scale, att, acc)
+
+
+def monte_carlo_barostat_move_adaptive(system: System, energy_fn,
+                                       state: MDState, temperature_k,
+                                       pressure_bar, baro):
+    """`monte_carlo_barostat_move` with OpenMM's adaptive move sizing:
+    baro = (scale_nm3, attempted, accepted) from `barostat_scale_init`.
+    Returns (state, baro')."""
+    state, accept = monte_carlo_barostat_move(system, energy_fn, state,
+                                              temperature_k, pressure_bar,
+                                              baro[0])
+    vol = state.box[0] * state.box[1] * state.box[2]
+    return state, barostat_scale_update(baro, accept, vol)

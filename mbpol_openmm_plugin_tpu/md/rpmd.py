@@ -639,6 +639,7 @@ class PIMDSimulation:
                     thermostat=thermostat, mesh=mesh)
         self.state = None
         self._mu = None
+        self._baro_state = None   # adaptive (scale, attempted, accepted)
         self._chunk = jax.jit(self._chunk_impl, static_argnames=('n',))
 
     def set_positions(self, positions, box=None, spread=0.0):
@@ -652,6 +653,10 @@ class PIMDSimulation:
             self._mu = jnp.zeros((self._mu_beads, self.system.n_atoms, 3),
                                  pos.dtype)
         if self._npt:
+            from mbpol_openmm_plugin_tpu.md.integrators import \
+                barostat_scale_init
+            self._baro_state = barostat_scale_init(self.state.box,
+                                                   pos.dtype)
             # seed through the box-aware path (set_positions may override
             # the static system box)
             if self._warm:
@@ -687,53 +692,58 @@ class PIMDSimulation:
         state, out = jax.lax.scan(body, state, None, length=k)
         return state, mu, out
 
-    def _baro_move(self, state, mu):
+    def _baro_move(self, state, mu, baro):
+        from mbpol_openmm_plugin_tpu.md.integrators import \
+            barostat_scale_update
         if self._warm:
             def e_fn(q, box):
                 return self._ef_box(q, mu, box)[0]
         else:
             def e_fn(q, box):
                 return self._ef_box(q, box)[0]
-        state, _accepted = rpmd_barostat_move(
+        state, accept = rpmd_barostat_move(
             self.system, e_fn, state, self.temperature,
-            self.barostat_pressure)
-        return state
+            self.barostat_pressure, scale_nm3=baro[0])
+        vol = state.box[0] * state.box[1] * state.box[2]
+        return state, barostat_scale_update(baro, accept, vol)
 
-    def _chunk_impl(self, state, mu, n):
+    def _chunk_impl(self, state, mu, baro, n):
         if not self._npt:
-            return self._scan_steps(state, mu, n)
+            state, mu, out = self._scan_steps(state, mu, n)
+            return state, mu, baro, out
         bi = self.barostat_interval
         if n <= bi:
             state, mu, out = self._scan_steps(state, mu, n)
-            return self._baro_move(state, mu), mu, out
+            state, baro = self._baro_move(state, mu, baro)
+            return state, mu, baro, out
         if n % bi == 0:
             # one traced group body (inner scan + volume move), scanned
             # n/bi times - keeps the compiled graph size independent of
             # the report interval
             def gbody(carry, _):
-                s, m = carry
+                s, m, b = carry
                 s, m, out = self._scan_steps(s, m, bi)
-                s = self._baro_move(s, m)
-                return (s, m), out
+                s, b = self._baro_move(s, m, b)
+                return (s, m, b), out
 
-            (state, mu), outs = jax.lax.scan(gbody, (state, mu), None,
-                                             length=n // bi)
+            (state, mu, baro), outs = jax.lax.scan(
+                gbody, (state, mu, baro), None, length=n // bi)
             out = jax.tree_util.tree_map(
                 lambda x: x.reshape((-1,) + x.shape[2:]), outs)
-            return state, mu, out
+            return state, mu, baro, out
         # ragged chunk: unrolled groups (pick report intervals that are
         # multiples of barostat_interval to avoid the duplicate traces)
         outs, done = [], 0
         while done < n:
             k = min(bi, n - done)
             state, mu, out = self._scan_steps(state, mu, k)
-            state = self._baro_move(state, mu)
+            state, baro = self._baro_move(state, mu, baro)
             done += k
             outs.append(out)
         out = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs]),
             *outs)
-        return state, mu, out
+        return state, mu, baro, out
 
     def step(self, n_steps, report_interval=None, check_health=True,
              frame_callback=None):
@@ -757,8 +767,8 @@ class PIMDSimulation:
         remaining = n_steps
         while remaining > 0:
             k = min(report_interval, remaining)
-            self.state, self._mu, (pes, kes) = self._chunk(
-                self.state, self._mu, n=k)
+            self.state, self._mu, self._baro_state, (pes, kes) = \
+                self._chunk(self.state, self._mu, self._baro_state, n=k)
             pe_host = np.asarray(pes)
             if check_health and np.isnan(pe_host).any():
                 at = int(self.state.step) - k + int(np.argmax(np.isnan(pe_host)))
@@ -821,6 +831,10 @@ class PIMDSimulation:
             # deterministic (they converge to the same fixed point either
             # way, but only within target_epsilon)
             ck['mu'] = np.asarray(self._mu)
+        if self._baro_state is not None:
+            ck['baro_scale'] = np.asarray(self._baro_state[0])
+            ck['baro_attempted'] = np.asarray(self._baro_state[1])
+            ck['baro_accepted'] = np.asarray(self._baro_state[2])
         return ck
 
     def load_checkpoint(self, ck):
@@ -835,6 +849,16 @@ class PIMDSimulation:
             self._mu = (jnp.asarray(ck['mu']) if 'mu' in ck else
                         jnp.zeros((self._mu_beads, self.system.n_atoms, 3),
                                   self.state.positions.dtype))
+        if self._npt:
+            if 'baro_scale' in ck:
+                self._baro_state = (jnp.asarray(ck['baro_scale']),
+                                    jnp.asarray(ck['baro_attempted']),
+                                    jnp.asarray(ck['baro_accepted']))
+            else:
+                from mbpol_openmm_plugin_tpu.md.integrators import \
+                    barostat_scale_init
+                self._baro_state = barostat_scale_init(
+                    self.state.box, self.state.positions.dtype)
 
     def save_checkpoint(self, path):
         np.savez(path, **self.checkpoint())

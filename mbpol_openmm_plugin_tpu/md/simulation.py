@@ -50,6 +50,10 @@ class Simulation:
         self.config = config
         self._key = jax.random.PRNGKey(seed)
         self.state: Optional[I.MDState] = None
+        # adaptive barostat move size (scale, attempted, accepted) -
+        # OpenMM MonteCarloBarostatImpl acceptance adaptation; carried
+        # across chunks, initialized lazily from the first box
+        self._baro = None
         self._step_chunk = jax.jit(self._step_chunk_impl, static_argnames=('n_steps',))
 
     # ------------------------------------------------------------------
@@ -115,7 +119,7 @@ class Simulation:
                                               cfg.temperature, cfg.collision_frequency)
         return state, aux[0], aux[1]
 
-    def _step_chunk_impl(self, state, n_steps):
+    def _step_chunk_impl(self, state, baro, n_steps):
         cfg = self.config
         reuse = max(int(cfg.nlist_rebuild_interval), 1)
         use_nl = self.potential.use_neighbor_lists
@@ -169,10 +173,10 @@ class Simulation:
                 mu = jnp.tile(mu[None], (len(elec.aspc_predictor_coefficients(
                     self.potential.config.aspc_k)), 1, 1))
 
-        baro = (cfg.barostat_pressure is not None and cfg.temperature is not None
-                and self.system.periodic)
-        group = reuse if reuse > 1 else (cfg.barostat_interval if baro else n_steps)
-        if baro:
+        is_baro = (cfg.barostat_pressure is not None and cfg.temperature is not None
+                   and self.system.periodic)
+        group = reuse if reuse > 1 else (cfg.barostat_interval if is_baro else n_steps)
+        if is_baro:
             group = min(group, cfg.barostat_interval)
 
             def energy_at(p, box):
@@ -188,15 +192,14 @@ class Simulation:
         while done < n_steps:
             n = min(group, n_steps - done)
             state, mu, pe = scan_group(state, mu, n)
-            if baro:
-                state, accepted = I.monte_carlo_barostat_move(
+            if is_baro:
+                state, baro = I.monte_carlo_barostat_move_adaptive(
                     self.system, energy_at, state, cfg.temperature,
-                    cfg.barostat_pressure,
-                    scale_state=0.01 * state.box[0] * state.box[1] * state.box[2])
+                    cfg.barostat_pressure, baro)
             pes.append(pe)
             done += n
         ke_end = I.kinetic_energy(self.system, state.velocities)
-        return state, jnp.concatenate(pes), ke_end
+        return state, baro, jnp.concatenate(pes), ke_end
 
     def step(self, n_steps, report_interval=None, check_health=True):
         """Advance n_steps. Returns a dict of per-report-interval metrics
@@ -207,10 +210,16 @@ class Simulation:
         (the reference throws in-kernel, cpp:888-894)."""
         report_interval = report_interval or n_steps
         pes, kes, steps = [], [], []
+        if (self.config.barostat_pressure is not None
+                and self.config.temperature is not None
+                and self.system.periodic and self._baro is None):
+            self._baro = I.barostat_scale_init(self.state.box,
+                                               self.state.positions.dtype)
         remaining = n_steps
         while remaining > 0:
             chunk = min(report_interval, remaining)
-            self.state, pe, ke = self._step_chunk(self.state, chunk)
+            self.state, self._baro, pe, ke = self._step_chunk(
+                self.state, self._baro, chunk)
             if check_health:
                 # The hot scan emits only per-step PE (in-scan health flags
                 # cost 0.25-0.8 ms EVERY step on TPU - see _step_chunk_impl);
@@ -296,10 +305,17 @@ class Simulation:
     def checkpoint(self):
         """Serializable snapshot of the dynamic state (pytree of arrays)."""
         s = self.state
-        return dict(positions=np.asarray(s.positions), velocities=np.asarray(s.velocities),
-                    forces=np.asarray(s.forces), box=np.asarray(s.box),
-                    potential_energy=np.asarray(s.potential_energy),
-                    step=np.asarray(s.step), rng=np.asarray(s.rng))
+        ck = dict(positions=np.asarray(s.positions), velocities=np.asarray(s.velocities),
+                  forces=np.asarray(s.forces), box=np.asarray(s.box),
+                  potential_energy=np.asarray(s.potential_energy),
+                  step=np.asarray(s.step), rng=np.asarray(s.rng))
+        if self._baro is not None:
+            # adaptive barostat move state rides along so NPT resume is
+            # bitwise deterministic
+            ck['baro_scale'] = np.asarray(self._baro[0])
+            ck['baro_attempted'] = np.asarray(self._baro[1])
+            ck['baro_accepted'] = np.asarray(self._baro[2])
+        return ck
 
     def load_checkpoint(self, ck):
         self.state = I.MDState(
@@ -307,6 +323,10 @@ class Simulation:
             forces=jnp.asarray(ck['forces']), potential_energy=jnp.asarray(ck['potential_energy']),
             box=jnp.asarray(ck['box']), step=jnp.asarray(ck['step']),
             rng=jnp.asarray(ck['rng']))
+        if 'baro_scale' in ck:
+            self._baro = (jnp.asarray(ck['baro_scale']),
+                          jnp.asarray(ck['baro_attempted']),
+                          jnp.asarray(ck['baro_accepted']))
 
     def save_checkpoint(self, path):
         np.savez(path, **self.checkpoint())

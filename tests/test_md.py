@@ -179,3 +179,41 @@ def test_lbfgs_minimize_quadratic_exact():
                                 tolerance=1e-8)
     np.testing.assert_allclose(np.asarray(x).reshape(-1), x_star, atol=1e-5)
     assert bool(diag['converged'])
+
+
+def test_barostat_scale_adaptation():
+    """OpenMM MonteCarloBarostatImpl acceptance adaptation: after >= 10
+    attempts, all-accepted grows the move size x1.1 (capped at 0.3 V),
+    all-rejected shrinks it /1.1, the middle band leaves it and keeps
+    counting. Pure-jnp unit test of integrators.barostat_scale_update."""
+    import pytest
+
+    from mbpol_openmm_plugin_tpu.md import integrators as I
+
+    vol = jnp.asarray(8.0)
+    baro = I.barostat_scale_init(jnp.asarray([2.0, 2.0, 2.0]))
+    assert float(baro[0]) == pytest.approx(0.08)
+
+    b = baro
+    for _ in range(10):
+        b = I.barostat_scale_update(b, jnp.asarray(True), vol)
+    assert float(b[0]) == pytest.approx(0.08 * 1.1)
+    assert int(b[1]) == 0 and int(b[2]) == 0      # counters reset on fire
+
+    b = baro
+    for _ in range(10):
+        b = I.barostat_scale_update(b, jnp.asarray(False), vol)
+    assert float(b[0]) == pytest.approx(0.08 / 1.1)
+
+    # middle band: 5/10 accepted -> no adjustment, counters keep growing
+    b = baro
+    for i in range(10):
+        b = I.barostat_scale_update(b, jnp.asarray(i % 2 == 0), vol)
+    assert float(b[0]) == pytest.approx(0.08)
+    assert int(b[1]) == 10 and int(b[2]) == 5
+
+    # growth cap: scale never exceeds 0.3 V
+    b = (jnp.asarray(2.39), jnp.asarray(9, jnp.int32),
+         jnp.asarray(9, jnp.int32))
+    b = I.barostat_scale_update(b, jnp.asarray(True), vol)
+    assert float(b[0]) == pytest.approx(0.3 * 8.0)
