@@ -170,7 +170,8 @@ class ForceField:
     # ------------------------------------------------------------------
     def createSystem(self, topology, nonbondedMethod=NoCutoff,
                      nonbondedCutoff=1.0 * unit.nanometer,
-                     ewaldErrorTolerance=1e-4, hydrogenMass=None, **kwargs):
+                     ewaldErrorTolerance=1e-4, hydrogenMass=None,
+                     isotope='H2O', **kwargs):
         if nonbondedMethod == CutoffPeriodic and self.has_electrostatics:
             # Reference parity: the electrostatics generator's methodMap has
             # no CutoffPeriodic entry and raises (reference python/mbpol.py:
@@ -184,6 +185,26 @@ class ForceField:
         periodic = nonbondedMethod in (PME, CutoffPeriodic)
         sys_ = System.from_atom_names(topology.atom_names, topology.residue_names,
                                       box=box if periodic else None)
+        if isotope != 'H2O':
+            # true isotopologues (total mass changes; the PES is
+            # mass-independent, so only the masses differ) - same
+            # semantics as System.waters(isotope=...)
+            import dataclasses as _dc
+
+            import numpy as _np
+
+            from mbpol_openmm_plugin_tpu.system import MASS_D
+            if isotope not in ('D2O', 'HDO'):
+                raise ValueError(f'unknown isotope {isotope!r}')
+            if hydrogenMass is not None:
+                raise ValueError('isotope= and hydrogenMass= are mutually '
+                                 'exclusive (HMR conserves the molecular '
+                                 'mass; isotopes change it)')
+            masses = _np.array(sys_.masses)
+            masses[sys_.h1_index] = MASS_D
+            if isotope == 'D2O':
+                masses[sys_.h2_index] = MASS_D
+            sys_ = _dc.replace(sys_, masses=masses)
         if hydrogenMass is not None:
             # OpenMM createSystem semantics (hydrogen mass repartitioning):
             # set every H to this mass and subtract the difference from the

@@ -326,10 +326,11 @@ def make_rpmd_step(system: System, energy_forces_fn, n_beads, dt,
 
         box_args = (state.box,) if with_box else ()
         if with_aux:
-            if not batched:
-                # bead-leading aux (e.g. per-bead warm-start dipoles)
-                # follows the bead sharding
-                aux = jax.tree_util.tree_map(shard_beads, aux)
+            # bead-leading aux (e.g. per-bead warm-start dipoles) follows
+            # the bead sharding; with a mesh the batched fn's aux is
+            # always bead-leading (mesh + contraction is rejected
+            # upstream), and without one shard_beads is the identity
+            aux = jax.tree_util.tree_map(shard_beads, aux)
             e, f, aux = batched_ef(q, aux, *box_args)
         else:
             e, f = batched_ef(q, *box_args)

@@ -22,6 +22,9 @@ from mbpol_openmm_plugin_tpu import data as _data
 
 # atom class codes (order of the dispersion C6/d6 tables, mbpol.xml:45-50)
 CLASS_O, CLASS_H, CLASS_M, CLASS_CL = 0, 1, 2, 3
+# CODATA deuterium atomic mass (amu); the PES is mass-independent,
+# so isotopologues differ only here
+MASS_D = 2.01410177812
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,7 +67,6 @@ class System:
         and quantum-mechanically via the ring-polymer ZPE (md/rpmd.py).
         """
         ff = _data.load('forcefield')
-        MASS_D = 2.01410177812
         m_h1 = m_h2 = float(ff['mass_H'])
         if isotope == 'D2O':
             m_h1 = m_h2 = MASS_D

@@ -215,3 +215,28 @@ def test_create_system_hydrogen_mass_repartitioning(pdb_dir):
                                + 2 * np.asarray(spec0.system.masses)[spec0.system.h1_index])
     with pytest.raises(ValueError):
         ff.createSystem(pdb.topology, hydrogenMass=30.0 * unit.amu)
+
+
+def test_create_system_isotope(pdb_dir):
+    """createSystem(isotope='D2O'|'HDO'): true isotopologue masses (the
+    total molecular mass changes; System.waters(isotope=...) semantics),
+    mutually exclusive with hydrogenMass (which conserves it)."""
+    from mbpol_openmm_plugin_tpu.system import MASS_D
+    pdb = app.PDBFile(pdb_dir['water3'])
+    ff = app.ForceField(app.mbpol_xml_path())
+    spec = ff.createSystem(pdb.topology, isotope='D2O')
+    m = np.asarray(spec.system.masses)
+    np.testing.assert_allclose(m[spec.system.h1_index], MASS_D)
+    np.testing.assert_allclose(m[spec.system.h2_index], MASS_D)
+    spec0 = ff.createSystem(pdb.topology)
+    np.testing.assert_array_equal(m[spec.system.o_index],
+                                  np.asarray(spec0.system.masses)[spec0.system.o_index])
+    hdo = ff.createSystem(pdb.topology, isotope='HDO')
+    mh = np.asarray(hdo.system.masses)
+    np.testing.assert_allclose(mh[hdo.system.h1_index], MASS_D)
+    assert np.all(mh[hdo.system.h2_index] < 1.1)
+    with pytest.raises(ValueError):
+        ff.createSystem(pdb.topology, isotope='T2O')
+    with pytest.raises(ValueError):
+        ff.createSystem(pdb.topology, isotope='D2O',
+                        hydrogenMass=2.0 * unit.amu)

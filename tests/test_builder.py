@@ -135,3 +135,28 @@ save_positions_every = 50
     assert 'PIMDCentroidWriter' in r.stdout
     import ast
     ast.parse(r.stdout)
+
+
+def test_builder_renders_isotope(tmp_path):
+    """[system] isotope = D2O threads through to createSystem(isotope=...)."""
+    import configparser
+    src = os.path.join(REPO, 'examples', 'example_ini',
+                       'mbpol_cluster_pimd.ini')
+    cfg = configparser.ConfigParser()
+    cfg.read(src)
+    cfg['system']['isotope'] = 'D2O'
+    ini = tmp_path / 'd2o.ini'
+    with open(ini, 'w') as f:
+        cfg.write(f)
+    r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                        str(ini)], capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO))
+    assert r.returncode == 0, r.stderr
+    assert 'isotope="D2O"' in r.stdout
+    import ast
+    ast.parse(r.stdout)
+    # default H2O renders no isotope kwarg
+    r0 = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                         src], capture_output=True, text=True,
+                        env=dict(os.environ, PYTHONPATH=REPO))
+    assert 'isotope' not in r0.stdout

@@ -678,6 +678,43 @@ def test_pimd_npt_full_beads_runs():
     assert 'volume' in m and np.all(m['volume'] > 0)
 
 
+@pytest.mark.slow
+def test_pimd_npt_mesh_matches_unsharded():
+    """NPT-PIMD under the virtual mesh: bead-sharded box-aware warm-start
+    path (batched + with_aux + with_box + mesh) reproduces the unsharded
+    trajectory bitwise-to-tolerance, including the MC volume moves (the
+    Metropolis draws come from the replicated rng, so acceptance decisions
+    are mesh-independent)."""
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+    from mbpol_openmm_plugin_tpu.parallel.mesh import make_mesh
+
+    fix = fixtures.load('water3_cluster')
+    sys_ = System.waters(3, box=[1.2, 1.2, 1.2])
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.45,
+                                  target_epsilon=1e-8))
+    pot.tune_capacities(pos)
+
+    def run(mesh):
+        sim = rpmd.PIMDSimulation(pot, n_beads=8, dt=2e-5,
+                                  temperature=300.0, tau0=0.05, seed=3,
+                                  mesh=mesh, barostat_pressure=1.0,
+                                  barostat_interval=2)
+        assert sim._warm and sim._npt
+        sim.set_positions(pos, spread=0.001)
+        m = sim.step(4, report_interval=2)
+        return m, np.asarray(sim.state.positions), np.asarray(sim.state.box)
+
+    m0, p0, b0 = run(None)
+    m1, p1, b1 = run(make_mesh(8))
+    np.testing.assert_allclose(b1, b0, rtol=1e-12)
+    np.testing.assert_allclose(p1, p0, atol=1e-10)
+    np.testing.assert_allclose(m1['volume'], m0['volume'], rtol=1e-12)
+    np.testing.assert_allclose(m1['total_energy'], m0['total_energy'],
+                               rtol=1e-9)
+
+
 def test_pimd_npt_rejects_nonperiodic():
     from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
 
