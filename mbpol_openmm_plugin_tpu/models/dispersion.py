@@ -28,7 +28,8 @@ def tt6(x):
     return 1.0 - jnp.exp(-x) * s
 
 
-def dispersion_energy(system: System, positions, cutoff=None, box=None):
+def dispersion_energy(system: System, positions, cutoff=None, box=None,
+                      mesh=None):
     """Total dispersion energy in kJ/mol.
 
     Args:
@@ -36,6 +37,9 @@ def dispersion_energy(system: System, positions, cutoff=None, box=None):
       positions: [natoms, 3] nm (M sites already placed; their C6 is 0).
       cutoff: optional truncation distance in nm (plain truncation, like
         OpenMM CustomNonbondedForce without a switching function).
+      mesh: optional device mesh - the pair matrix's ROW dimension is
+        constrained to the 'dp' axis, so each device evaluates a row slab
+        of the [N,N] pair grid and the total reduces with one psum.
 
     The per-pair C6/d6 tables are expanded on-device from the [N] class
     vector via one-hot matmuls ([N,4] @ [4,4] @ [4,N]) - avoiding both
@@ -44,11 +48,17 @@ def dispersion_energy(system: System, positions, cutoff=None, box=None):
     ff = _data.load('forcefield')
     dtype = positions.dtype
     onehot = jnp.asarray(np.eye(4)[np.asarray(system.atom_class)], dtype)  # [N,4]
-    C6 = onehot @ jnp.asarray(ff['C6'], dtype) @ onehot.T
-    d6 = onehot @ jnp.asarray(ff['d6'], dtype) @ onehot.T
+    row_oh = onehot
     mol = jnp.asarray(system.mol_index)
+    rows = positions
+    if mesh is not None:
+        from mbpol_openmm_plugin_tpu.parallel import mesh as M
+        rows = M.constrain(rows, M.row_sharded(mesh))
+        row_oh = M.constrain(row_oh, M.row_sharded(mesh))
+    C6 = row_oh @ jnp.asarray(ff['C6'], dtype) @ onehot.T
+    d6 = row_oh @ jnp.asarray(ff['d6'], dtype) @ onehot.T
 
-    delta = positions[None, :, :] - positions[:, None, :]
+    delta = positions[None, :, :] - rows[:, None, :]
     delta = minimum_image(delta, (system.box if box is None else box)
                           if system.periodic else None)
     r2 = jnp.sum(delta * delta, axis=-1)

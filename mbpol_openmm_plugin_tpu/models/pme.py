@@ -74,7 +74,7 @@ class PmeSetup:
 _NDERIV = 3   # spline value + 1st + 2nd derivative (all that charges need)
 
 
-def _spline_matrices(setup: PmeSetup, positions, box=None):
+def _spline_matrices(setup: PmeSetup, positions, box=None, mesh=None):
     """Separable one-hot spline matrices.
 
     Returns (Sx [N, nx, 3], Sy [N, ny, 3], Sz [N, nz, 3]) with
@@ -83,6 +83,12 @@ def _spline_matrices(setup: PmeSetup, positions, box=None):
 
     This turns both charge/dipole spreading and potential read-back into
     dense matmuls - no scatter/gather, which are serialized on TPU.
+
+    Under a `mesh` the site dimension carries a 'dp' sharding constraint,
+    which shards the whole reciprocal grid pipeline: spreading contracts
+    the sharded site dim (per-device partial grids + one psum of the tiny
+    [nx,ny,nz] grid over ICI), the convolution runs replicated (noise-level
+    cost), and read-back is row-parallel in the sites with no collective.
     """
     dims = jnp.asarray(setup.grid)
     box = jnp.asarray(setup.box if box is None else box, positions.dtype)
@@ -101,6 +107,9 @@ def _spline_matrices(setup: PmeSetup, positions, box=None):
         onehot = (lines[:, :, None] ==
                   jnp.arange(nax)[None, None, :]).astype(positions.dtype)
         out.append(jnp.einsum('nkg,nkd->ngd', onehot, theta[:, axis]))
+    if mesh is not None:
+        from mbpol_openmm_plugin_tpu.parallel import mesh as M
+        out = [M.constrain(a, M.row_sharded(mesh)) for a in out]
     return tuple(out)
 
 
@@ -442,7 +451,7 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
         s_dd = elec.thole_scales(u, t['gamma_dd'], orders=(3, 5, 7))
 
     # ---- grid machinery (separable spline matrices; matmuls only) ----
-    Sx, Sy, Sz = _spline_matrices(setup, positions, box=box)
+    Sx, Sy, Sz = _spline_matrices(setup, positions, box=box, mesh=mesh)
     sx0, sy0, sz0 = Sx[..., 0], Sy[..., 0], Sz[..., 0]
     sx1, sy1, sz1 = Sx[..., 1], Sy[..., 1], Sz[..., 1]
 

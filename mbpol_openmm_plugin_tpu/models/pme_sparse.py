@@ -142,7 +142,8 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
 
     # ---- fixed field ----
     # reciprocal (shared grid machinery)
-    Sx, Sy, Sz = pme_mod._spline_matrices(setup, positions, box=dyn_box)
+    Sx, Sy, Sz = pme_mod._spline_matrices(setup, positions, box=dyn_box,
+                                          mesh=mesh)
     sx0, sy0, sz0 = Sx[..., 0], Sy[..., 0], Sz[..., 0]
     sx1, sy1, sz1 = Sx[..., 1], Sy[..., 1], Sz[..., 1]
 

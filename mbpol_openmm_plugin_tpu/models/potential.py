@@ -271,7 +271,13 @@ class MBPol:
         pos = compute_virtual_sites(sys_, positions)
         parts = {}
         if 'one_body' in cfg.terms:
-            parts['one_body'] = jnp.sum(one_body_energy(water_positions(sys_, pos)))
+            wpos = water_positions(sys_, pos)
+            if self.mesh is not None:
+                # molecule batch over 'dp' (psum on the total); the pair/
+                # triplet terms shard through their list constraints below
+                from mbpol_openmm_plugin_tpu.parallel import mesh as M
+                wpos = M.constrain(wpos, M.row_sharded(self.mesh))
+            parts['one_body'] = jnp.sum(one_body_energy(wpos))
         pl = tl = None
         if nlists is not None:
             pl, tl = nlists
@@ -282,7 +288,8 @@ class MBPol:
             parts['three_body'] = (three_body_energy(sys_, pos, tl[0], tl[1], box=box)
                                    if tl is not None else three_body_energy(sys_, pos, box=box))
         if 'dispersion' in cfg.terms:
-            parts['dispersion'] = dispersion_energy(sys_, pos, cutoff=cfg.cutoff, box=box)
+            parts['dispersion'] = dispersion_energy(sys_, pos, cutoff=cfg.cutoff,
+                                                    box=box, mesh=self.mesh)
         return parts
 
     def _energy_forces_impl(self, positions, mu0=None, nlists=None, box=None):

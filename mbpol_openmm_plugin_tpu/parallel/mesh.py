@@ -1,11 +1,15 @@
 """Device mesh utilities for multi-chip evaluation.
 
 The reference has no distributed execution (single-thread CPU / single GPU;
-SURVEY 2.6). Beyond-parity design for the TPU framework: molecules, pair
-batches, triplet batches and the dense electrostatics row dimension are
-sharded over a 1-D 'dp' mesh axis; XLA inserts the collectives (psum for
+SURVEY 2.6). Beyond-parity design for the TPU framework: every term shards
+over a 1-D 'dp' mesh axis - the one-body molecule batch, 2b pair batches,
+3b triplet batches, the dispersion pair-grid rows, and the dense
+electrostatics row dimension; XLA inserts the collectives (psum for
 energy/force reductions, all-gathers for the SCF dipole vector) over ICI.
-The PME FFT stays replicated (grids are tiny relative to the pair work).
+The PME grid pipeline shards its SITE dimension (spline matrices carry a
+'dp' constraint: spreading psums per-device partial grids, read-back is
+row-parallel); only the grid convolution itself stays replicated - the
+[nx,ny,nz] grid is tiny relative to the pair work.
 """
 from __future__ import annotations
 

@@ -168,6 +168,30 @@ def test_sharded_block_sparse_matches_dense(lattice, monkeypatch):
     np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=1e-8)
 
 
+def test_pme_grid_pipeline_shards_over_sites(lattice):
+    """The reciprocal-space pipeline shards its SITE dimension: the spline
+    matrices carry a 'dp' sharding constraint (models/pme.py
+    _spline_matrices), so charge/dipole spreading contracts a sharded dim -
+    per-device partial grids reduced by one psum of the tiny [nx,ny,nz]
+    grid - and read-back is row-parallel. The compiled sharded module must
+    therefore contain a grid-shaped cross-device reduction (equality with
+    the unsharded result is pinned by test_sharded_pme_matches_unsharded)."""
+    sys_, pos = lattice
+    mesh = M.make_mesh(8)
+    pot = _pot(sys_, mesh=mesh)
+    with mesh:
+        txt = jax.jit(
+            lambda p: pot._energy_forces_impl(p)[0]).lower(pos).compile().as_text()
+    nx, ny, nz = pot.pme.grid
+    # the psum fires on the spread matmul's output [nx, ny*nz] (the grid
+    # before its final reshape), or on the reshaped [nx,ny,nz] grid
+    shapes = (f'[{nx},{ny * nz}]', f'[{nx},{ny},{nz}]')
+    assert any(('all-reduce' in ln or 'reduce-scatter' in ln)
+               and any(s in ln for s in shapes)
+               for ln in txt.splitlines()), \
+        f'no grid-shaped {shapes} cross-device reduction in the sharded HLO'
+
+
 def test_dryrun_entrypoint_inproc(monkeypatch):
     """The driver-contract function itself, run in-process on the virtual
     mesh (the driver invokes it via the subprocess wrapper)."""
