@@ -1,4 +1,4 @@
-"""Trajectory analysis helpers: RDF, VACF/VDOS, dipole time series.
+"""Trajectory analysis helpers: RDF, VACF/VDOS, dipole series, IR spectrum.
 
 The reference delegates analysis to external tools (trajectories go out
 through PDB/NetCDF reporters); these helpers cover the standard water
@@ -123,3 +123,31 @@ def dipole_series(potential, frames):
         mom = E.system_moments(potential.elec_params, jnp.asarray(f), masses)
         out.append(np.asarray(mom)[1:4])
     return np.asarray(out)
+
+
+def infrared_spectrum(dipoles, dt, max_lag=None):
+    """Classical IR lineshape from a total-dipole time series.
+
+    dipoles: [n_frames, 3] (e.g. from `dipole_series`; units cancel in the
+    relative lineshape). dt: frame spacing in ps. The intensity is the
+    spectrum of the dipole-DERIVATIVE autocorrelation (Wiener-Khinchin) -
+    the standard classical/ring-polymer IR estimate I(w) ~ w^2 C_mumu(w),
+    computed in the derivative form because a post-hoc w^2 prefactor
+    amplifies windowing leakage near Nyquist while the mu-dot ACF keeps
+    leakage relative to the true lines.
+
+    Returns (freq_invcm, intensity).
+    """
+    mu = np.asarray(dipoles, dtype=np.float64)
+    mudot = (mu[2:] - mu[:-2]) / (2.0 * dt)       # central difference
+    n = mudot.shape[0]
+    max_lag = max_lag or n // 2
+    nfft = 1 << int(np.ceil(np.log2(2 * n)))
+    F = np.fft.rfft(mudot, n=nfft, axis=0)
+    acf = np.fft.irfft((F * F.conj()).real, n=nfft, axis=0)[:max_lag]
+    acf = acf.sum(axis=1) / (n - np.arange(max_lag))
+    w = np.hanning(2 * len(acf))[len(acf):]
+    spec = np.abs(np.fft.rfft(acf * w))
+    freq_thz = np.fft.rfftfreq(len(acf), d=dt)
+    invcm = freq_thz / 0.0299792458
+    return invcm, spec

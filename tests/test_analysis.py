@@ -79,3 +79,19 @@ def test_dipole_series_water3():
     assert d.shape == (1, 3)
     # water3 cluster has a nonzero net dipole of a few Debye
     assert 0.5 < float(np.linalg.norm(d[0])) < 20.0
+
+
+def test_infrared_spectrum_harmonic_peak():
+    """A dipole oscillating at a known frequency must peak there, and the
+    omega^2 prefactor must kill the zero-frequency (static-dipole) bin."""
+    dt = 5e-4                       # ps
+    f_thz = 20.0                    # 20 THz ~ 667 cm^-1
+    t = np.arange(8192) * dt
+    mu = np.stack([np.cos(2 * np.pi * f_thz * t),
+                   np.zeros_like(t), 3.0 + 0 * t], axis=1)
+    freq, inten = analysis.infrared_spectrum(mu, dt)
+    peak = freq[np.argmax(inten)]
+    np.testing.assert_allclose(peak, f_thz / 0.0299792458, rtol=0.02)
+    # the static z-dipole contributes nothing beyond the windowing
+    # leakage floor (derivative form kills the DC line itself)
+    assert inten[0] < 1e-3 * inten.max()
