@@ -17,7 +17,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from mbpol_openmm_plugin_tpu import data as _data
-from mbpol_openmm_plugin_tpu.system import System, minimum_image
+from mbpol_openmm_plugin_tpu.system import (System, minimum_image,
+                                            water_positions)
+
+# Site-vs-oxygen offset bound for molecule-pair lists (same convention and
+# value as models/pme_sparse.py PAIR_MARGIN): a water's real sites sit
+# within ~0.125 nm of its O even for thermally stretched OH bonds, so every
+# site pair under the cutoff lives in a molecule pair with O-O distance
+# under cutoff + PAIR_MARGIN.
+PAIR_MARGIN = 0.25
 
 def tt6(x):
     """Order-6 Tang-Toennies damping, numerically safe at x=0.
@@ -71,3 +79,55 @@ def dispersion_energy(system: System, positions, cutoff=None, box=None,
     r = jnp.sqrt(r2)
     e_pair = -C6 * tt6(d6 * r) / (r2 * r2 * r2)
     return 0.5 * jnp.sum(jnp.where(mask, e_pair, 0.0))
+
+
+def dispersion_energy_pairs(system: System, positions, mol_pairs, pair_mask,
+                            cutoff, box=None, mesh=None):
+    """O(N)-memory dispersion over a padded molecule-pair list (water-only).
+
+    Same physics as `dispersion_energy` (TT6-damped C6 with plain
+    truncation at `cutoff` on each SITE pair), evaluated per listed water
+    pair over the 3x3 real-site block - the M row of the C6/d6 tables is
+    zero, so skipping M sites is exact. Exact for any list containing
+    every water pair with O-O distance < cutoff + PAIR_MARGIN (any
+    superset is fine: out-of-cutoff site pairs mask to zero). This is the
+    large-N path: the dense pair grid materializes [N,N] tensors, the
+    next memory wall after block-sparse electrostatics and site-chunked
+    PME grids.
+
+    Args:
+      mol_pairs: [P, 2] int water indices, each unordered pair listed once
+        (ops/neighbors.pair_list convention); padded entries masked by
+        pair_mask [P] (their indices must stay in range, as pair_list
+        guarantees).
+      mesh: optional device mesh - the pair batch rows shard over 'dp'.
+    """
+    if system.n_ions:
+        raise ValueError('dispersion_energy_pairs supports water-only '
+                         'systems (ions take the dense path)')
+    ff = _data.load('forcefield')
+    dtype = positions.dtype
+    cls = np.array([0, 1, 1])                      # O, H, H class codes
+    C6b = jnp.asarray(np.asarray(ff['C6'])[np.ix_(cls, cls)], dtype)
+    d6b = jnp.asarray(np.asarray(ff['d6'])[np.ix_(cls, cls)], dtype)
+
+    if mesh is not None:
+        from mbpol_openmm_plugin_tpu.parallel import mesh as M
+        rs = M.row_sharded(mesh)
+        mol_pairs = M.constrain(mol_pairs, rs)
+        pair_mask = M.constrain(pair_mask, rs)
+
+    w = water_positions(system, positions)          # [n_waters, 3, 3]
+    pa = w[mol_pairs[:, 0]]                         # [P, 3, 3]
+    pb = w[mol_pairs[:, 1]]
+    delta = pb[:, None, :, :] - pa[:, :, None, :]   # [P, 3(a), 3(b), 3]
+    delta = minimum_image(delta, (system.box if box is None else box)
+                          if system.periodic else None)
+    r2 = jnp.sum(delta * delta, axis=-1)            # [P, 3, 3]
+
+    mask = pair_mask[:, None, None] & (r2 < cutoff * cutoff)
+    r2 = jnp.where(mask, r2, 1.0)
+    r = jnp.sqrt(r2)
+    e_pair = -C6b[None] * tt6(d6b[None] * r) / (r2 * r2 * r2)
+    # each unordered molecule pair appears once - no double-count factor
+    return jnp.sum(jnp.where(mask, e_pair, 0.0))

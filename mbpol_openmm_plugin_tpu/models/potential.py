@@ -22,7 +22,9 @@ import numpy as np
 from mbpol_openmm_plugin_tpu import data as _data
 from mbpol_openmm_plugin_tpu.models import electrostatics as elec
 from mbpol_openmm_plugin_tpu.models import pme as pme_mod
-from mbpol_openmm_plugin_tpu.models.dispersion import dispersion_energy
+from mbpol_openmm_plugin_tpu.models import dispersion as disp_mod
+from mbpol_openmm_plugin_tpu.models.dispersion import (dispersion_energy,
+                                                       dispersion_energy_pairs)
 from mbpol_openmm_plugin_tpu.models.one_body import one_body_energy
 from mbpol_openmm_plugin_tpu.models.three_body import three_body_energy
 from mbpol_openmm_plugin_tpu.models.two_body import two_body_energy
@@ -83,6 +85,12 @@ class MBPolConfig:
     # (block for PME above the dense limit when the kernels are eligible,
     # else sparse; dense below)
     electrostatics_mode: str = 'auto'
+    # 'dense' ([N,N] site-pair grid, exact, cheap below the electrostatics
+    # dense limit), 'pairs' (molecule-pair list over 3x3 real-site blocks,
+    # O(N) memory - the large-N path; water-only, periodic), or 'auto'
+    # (pairs whenever electrostatics resolved to a sparse/block large-N
+    # mode on a water-only periodic system; dense otherwise)
+    dispersion_mode: str = 'auto'
     terms: tuple = ('electrostatics', 'one_body', 'two_body', 'three_body', 'dispersion')
 
 
@@ -176,6 +184,33 @@ class MBPol:
         self.compact_eval = (False if config.compact_eval is None
                              else config.compact_eval) and self.use_neighbor_lists \
             and config.triplet_semantics == 'complete'
+        dmode = config.dispersion_mode
+        if dmode == 'auto':
+            # the dense [N,N] site-pair grid is the next memory wall after
+            # block-sparse electrostatics + site-chunked PME grids; switch
+            # to the molecule-pair path exactly when electrostatics itself
+            # left the dense regime
+            dmode = ('pairs' if self.elec_mode in ('sparse', 'block')
+                     and system.periodic and system.n_ions == 0
+                     and 'dispersion' in config.terms else 'dense')
+        if dmode not in ('dense', 'pairs'):
+            raise ValueError(f'unknown dispersion_mode {dmode!r}')
+        if dmode == 'pairs':
+            if not system.periodic or system.n_ions:
+                raise ValueError("dispersion_mode='pairs' requires a "
+                                 'periodic water-only system')
+            if self.elec_mode == 'sparse':
+                self.disp_pair_cap = None     # share the elec pair list
+            else:
+                cut = config.cutoff + disp_mod.PAIR_MARGIN + config.nlist_skin
+                self.disp_pair_cap = neighbors.pair_capacity(
+                    system.n_waters, system.box, cut,
+                    factor=config.neighbor_capacity_factor)
+                if mesh is not None:
+                    from mbpol_openmm_plugin_tpu.parallel import mesh as M
+                    self.disp_pair_cap = M.round_up(self.disp_pair_cap,
+                                                    mesh.devices.size)
+        self.disp_mode = dmode
         if self.use_neighbor_lists:
             box = system.box
             f = config.neighbor_capacity_factor
@@ -264,8 +299,10 @@ class MBPol:
                     triplet_eval_overflow=n_t > self.trip_eval_cap)
         return ((pairs_c, pmask_c), (trips_c, tmask_c)), diag
 
-    def _smooth_terms(self, positions, nlists=None, box=None):
-        """Closed-form terms (1b/2b/3b/dispersion); differentiable."""
+    def _smooth_terms(self, positions, nlists=None, box=None, disp_pairs=None):
+        """Closed-form terms (1b/2b/3b/dispersion); differentiable.
+        disp_pairs: optional (mol_pairs, mask) for the O(N) dispersion path
+        (disp_mode='pairs'); None evaluates the dense pair grid."""
         cfg = self.config
         sys_ = self.system
         pos = compute_virtual_sites(sys_, positions)
@@ -288,8 +325,13 @@ class MBPol:
             parts['three_body'] = (three_body_energy(sys_, pos, tl[0], tl[1], box=box)
                                    if tl is not None else three_body_energy(sys_, pos, box=box))
         if 'dispersion' in cfg.terms:
-            parts['dispersion'] = dispersion_energy(sys_, pos, cutoff=cfg.cutoff,
-                                                    box=box, mesh=self.mesh)
+            if disp_pairs is not None:
+                parts['dispersion'] = dispersion_energy_pairs(
+                    sys_, pos, disp_pairs[0], disp_pairs[1],
+                    cutoff=cfg.cutoff, box=box, mesh=self.mesh)
+            else:
+                parts['dispersion'] = dispersion_energy(
+                    sys_, pos, cutoff=cfg.cutoff, box=box, mesh=self.mesh)
         return parts
 
     def _energy_forces_impl(self, positions, mu0=None, nlists=None, box=None):
@@ -314,8 +356,23 @@ class MBPol:
             nlists, c_diag = self._compact_lists(positions, nlists, box=box)
             nl_diag = dict(nl_diag, **c_diag)
 
+        disp_pairs = None
+        if self.disp_mode == 'pairs' and 'dispersion' in self.config.terms:
+            # molecule-pair list at cutoff + PAIR_MARGIN (+ skin); shared
+            # with sparse electrostatics below (identical radius and cap)
+            cap = (self.elec_pair_cap if self.disp_pair_cap is None
+                   else self.disp_pair_cap)
+            cut = (self.config.cutoff + disp_mod.PAIR_MARGIN
+                   + self.config.nlist_skin)
+            mp_d, mp_mask_d, n_mp_d = neighbors.pair_list(
+                positions[sys_.o_index],
+                sys_.box if box is None else box, cut, cap)
+            nl_diag = dict(nl_diag, disp_pair_overflow=n_mp_d > cap)
+            disp_pairs = (mp_d, mp_mask_d)
+
         def smooth_total(p):
-            parts = self._smooth_terms(p, nlists, box=box)
+            parts = self._smooth_terms(p, nlists, box=box,
+                                       disp_pairs=disp_pairs)
             total = functools.reduce(jnp.add, parts.values()) if parts \
                 else jnp.zeros((), p.dtype)
             return total, parts
@@ -328,11 +385,17 @@ class MBPol:
             pos_v = compute_virtual_sites(sys_, positions)
             if self.pme is not None and self.elec_mode == 'sparse':
                 from mbpol_openmm_plugin_tpu.models import pme_sparse
-                cut = self.config.cutoff + pme_sparse.PAIR_MARGIN + self.config.nlist_skin
-                mp, mp_mask, n_mp = neighbors.pair_list(
-                    pos_v[sys_.o_index],
-                    sys_.box if box is None else box, cut, self.elec_pair_cap)
-                diag['elec_pair_overflow'] = n_mp > self.elec_pair_cap
+                if disp_pairs is not None:
+                    # same radius (PAIR_MARGIN values match) and capacity:
+                    # reuse the dispersion list instead of rebuilding
+                    mp, mp_mask = disp_pairs
+                    diag['elec_pair_overflow'] = nl_diag['disp_pair_overflow']
+                else:
+                    cut = self.config.cutoff + pme_sparse.PAIR_MARGIN + self.config.nlist_skin
+                    mp, mp_mask, n_mp = neighbors.pair_list(
+                        pos_v[sys_.o_index],
+                        sys_.box if box is None else box, cut, self.elec_pair_cap)
+                    diag['elec_pair_overflow'] = n_mp > self.elec_pair_cap
                 e_elec, f_elec, ediag = pme_sparse.pme_electrostatics_sparse(
                     self.elec_params, self.pme, pos_v, mp, mp_mask, mu0=mu0,
                     box=box, mesh=self.mesh)
@@ -406,6 +469,11 @@ class MBPol:
             cut = self.config.cutoff + pme_sparse.PAIR_MARGIN + skin
             _, n_e = native.pair_list(o, box, cut)
             self.elec_pair_cap = max(int(margin * n_e) + 16, 64)
+        if getattr(self, 'disp_mode', 'dense') == 'pairs' \
+                and self.disp_pair_cap is not None:
+            cut = self.config.cutoff + disp_mod.PAIR_MARGIN + skin
+            _, n_d = native.pair_list(o, box, cut)
+            self.disp_pair_cap = max(int(margin * n_d) + 16, 64)
         if getattr(self, 'elec_mode', 'dense') == 'block':
             from mbpol_openmm_plugin_tpu.ops import elec_pallas_bs as _bs
             mol_perm = _bs.molecule_sort_permutation(o, box)
@@ -456,6 +524,9 @@ class MBPol:
             self.trip_eval_cap = M.round_up(self.trip_eval_cap, ndev)
             if getattr(self, 'elec_mode', 'dense') == 'sparse':
                 self.elec_pair_cap = M.round_up(self.elec_pair_cap, ndev)
+            if getattr(self, 'disp_mode', 'dense') == 'pairs' \
+                    and self.disp_pair_cap is not None:
+                self.disp_pair_cap = M.round_up(self.disp_pair_cap, ndev)
         self._energy_forces = jax.jit(self._energy_forces_impl)
         self._energy_forces_warm = jax.jit(self._energy_forces_impl)
         return self
