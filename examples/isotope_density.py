@@ -10,8 +10,9 @@ densities differ only by the trivial molar-mass ratio (20.03/18.02 =
 volume moves on the ring polymer) puts the nuclear zero-point motion back:
 lighter H has a wider ring-polymer spread, which perturbs the liquid
 structure and shifts the *molar volume* between the isotopologues — the
-part of the experimental rho(D2O)/rho(H2O) = 1.1056 (25 C) that is NOT
-the mass ratio.
+part of the experimental rho(D2O)/rho(H2O) = 1.1077 (1.10445/0.99705
+g/cm^3 at 25 C) that is NOT the mass ratio (1.1117): the molar volume of
+D2O is ~0.36% larger.
 
 Protocol (production): water256 PME box, P = 1 atm, T = 298.15 K,
 n_beads = 32 contracted to the centroid (RPC 32 -> 1, near-classical
@@ -98,7 +99,7 @@ print(f'NPT {T} K, {P_BAR} bar, water256 PME, dt = {DT * 1e3} fs, '
 rho_h, m_h = run('H2O', N_BEADS)
 rho_d, m_d = run('D2O', N_BEADS)
 print(f'quantum rho(D2O)/rho(H2O)   = {rho_d / rho_h:.4f}   '
-      f'(mass ratio alone {m_d / m_h:.4f}; experiment 1.1056 at 25 C)')
+      f'(mass ratio alone {m_d / m_h:.4f}; experiment 1.1077 at 25 C)')
 print(f'molar-volume isotope effect = '
       f'{(rho_d / rho_h) / (m_d / m_h) - 1.0:+.4%} (NQE beyond the mass ratio)')
 if CLASSICAL_TOO:

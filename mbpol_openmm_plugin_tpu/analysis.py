@@ -68,6 +68,25 @@ def radial_distribution(system: System, frames, r_max=None, n_bins=200,
     return centers, g
 
 
+def _acf(series, max_lag):
+    """Unbiased autocorrelation of a [n, k] series summed over components
+    (zero-padded Wiener-Khinchin). Returns [max_lag]."""
+    n = series.shape[0]
+    nfft = 1 << int(np.ceil(np.log2(2 * n)))
+    F = np.fft.rfft(series, n=nfft, axis=0)
+    acf = np.fft.irfft((F * F.conj()).real, n=nfft, axis=0)[:max_lag]
+    return acf.sum(axis=1) / (n - np.arange(max_lag))
+
+
+def _spectrum(acf, dt):
+    """Half-Hann-windowed cosine-transform magnitude of an ACF.
+    Returns (freq_invcm, spectrum); dt in ps."""
+    w = np.hanning(2 * len(acf))[len(acf):]
+    spec = np.abs(np.fft.rfft(acf * w))
+    freq_thz = np.fft.rfftfreq(len(acf), d=dt)        # 1/ps = THz
+    return freq_thz / 0.0299792458, spec               # THz -> cm^-1
+
+
 def velocity_autocorrelation(system: System, velocities, max_lag=None,
                              species='all'):
     """Normalized, mass-weighted VACF C(t)/C(0) over a velocity trajectory
@@ -84,13 +103,7 @@ def velocity_autocorrelation(system: System, velocities, max_lag=None,
         raise ValueError(species)
     v = v[:, idx, :] * np.sqrt(m[idx])[None, :, None]
     n = v.shape[0]
-    max_lag = max_lag or n // 2
-    flat = v.reshape(n, -1)
-    # FFT autocorrelation (Wiener-Khinchin), unbiased normalization
-    nfft = 1 << int(np.ceil(np.log2(2 * n)))
-    F = np.fft.rfft(flat, n=nfft, axis=0)
-    acf = np.fft.irfft((F * F.conj()).real, n=nfft, axis=0)[:max_lag]
-    acf = acf.sum(axis=1) / (n - np.arange(max_lag))
+    acf = _acf(v.reshape(n, -1), max_lag or n // 2)
     return acf / acf[0]
 
 
@@ -100,11 +113,7 @@ def vibrational_density_of_states(system: System, velocities, dt,
     with frequencies in cm^-1 (dt in ps)."""
     acf = velocity_autocorrelation(system, velocities, max_lag=max_lag,
                                    species=species)
-    w = np.hanning(2 * len(acf))[len(acf):]
-    spec = np.abs(np.fft.rfft(acf * w))
-    freq_thz = np.fft.rfftfreq(len(acf), d=dt)        # 1/ps = THz
-    invcm = freq_thz / 0.0299792458                    # THz -> cm^-1
-    return invcm, spec
+    return _spectrum(acf, dt)
 
 
 def dipole_series(potential, frames):
@@ -140,14 +149,5 @@ def infrared_spectrum(dipoles, dt, max_lag=None):
     """
     mu = np.asarray(dipoles, dtype=np.float64)
     mudot = (mu[2:] - mu[:-2]) / (2.0 * dt)       # central difference
-    n = mudot.shape[0]
-    max_lag = max_lag or n // 2
-    nfft = 1 << int(np.ceil(np.log2(2 * n)))
-    F = np.fft.rfft(mudot, n=nfft, axis=0)
-    acf = np.fft.irfft((F * F.conj()).real, n=nfft, axis=0)[:max_lag]
-    acf = acf.sum(axis=1) / (n - np.arange(max_lag))
-    w = np.hanning(2 * len(acf))[len(acf):]
-    spec = np.abs(np.fft.rfft(acf * w))
-    freq_thz = np.fft.rfftfreq(len(acf), d=dt)
-    invcm = freq_thz / 0.0299792458
-    return invcm, spec
+    acf = _acf(mudot, max_lag or mudot.shape[0] // 2)
+    return _spectrum(acf, dt)

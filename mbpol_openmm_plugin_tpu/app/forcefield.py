@@ -183,28 +183,16 @@ class ForceField:
                 'electrostatics; use PME for periodic systems')
         box = topology.getUnitCellDimensions()
         periodic = nonbondedMethod in (PME, CutoffPeriodic)
+        # true isotopologues (total mass changes; the PES is
+        # mass-independent, so only the masses differ) delegate to
+        # System.waters(isotope=...) via from_atom_names
+        if isotope != 'H2O' and hydrogenMass is not None:
+            raise ValueError('isotope= and hydrogenMass= are mutually '
+                             'exclusive (HMR conserves the molecular '
+                             'mass; isotopes change it)')
         sys_ = System.from_atom_names(topology.atom_names, topology.residue_names,
-                                      box=box if periodic else None)
-        if isotope != 'H2O':
-            # true isotopologues (total mass changes; the PES is
-            # mass-independent, so only the masses differ) - same
-            # semantics as System.waters(isotope=...)
-            import dataclasses as _dc
-
-            import numpy as _np
-
-            from mbpol_openmm_plugin_tpu.system import MASS_D
-            if isotope not in ('D2O', 'HDO'):
-                raise ValueError(f'unknown isotope {isotope!r}')
-            if hydrogenMass is not None:
-                raise ValueError('isotope= and hydrogenMass= are mutually '
-                                 'exclusive (HMR conserves the molecular '
-                                 'mass; isotopes change it)')
-            masses = _np.array(sys_.masses)
-            masses[sys_.h1_index] = MASS_D
-            if isotope == 'D2O':
-                masses[sys_.h2_index] = MASS_D
-            sys_ = _dc.replace(sys_, masses=masses)
+                                      box=box if periodic else None,
+                                      isotope=isotope)
         if hydrogenMass is not None:
             # OpenMM createSystem semantics (hydrogen mass repartitioning):
             # set every H to this mass and subtract the difference from the

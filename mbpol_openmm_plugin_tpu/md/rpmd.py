@@ -788,10 +788,10 @@ class PIMDSimulation:
                 else:
                     _, _, _, diag = self.potential._energy_forces(
                         self.state.positions[0])
-                bad = {kk: diag[kk] for kk in
-                       ('converged', 'pair_overflow', 'triplet_overflow',
-                        'pair_eval_overflow', 'triplet_eval_overflow',
-                        'elec_pair_overflow') if kk in diag}
+                # 'converged' plus every padded-capacity overflow flag
+                # (pair/triplet/elec-pair/elec-tile/dispersion-pair lists)
+                bad = {kk: diag[kk] for kk in diag
+                       if kk == 'converged' or kk.endswith('_overflow')}
                 ok = bool(diag.get('converged', True))
                 for kk, v in bad.items():
                     if kk != 'converged':

@@ -88,11 +88,11 @@ class Simulation:
         for k in ('converged',):
             if k in diag:
                 ok = ok & diag[k]
-        for k in ('pair_overflow', 'triplet_overflow',
-                  'pair_eval_overflow', 'triplet_eval_overflow',
-                  'elec_pair_overflow'):
-            if k in diag:
-                ok = ok & ~diag[k]
+        # any padded-capacity overflow flag is fatal (pair/triplet lists,
+        # elec molecule pairs, elec tile pairs, dispersion pairs, ...)
+        for k, v in diag.items():
+            if k.endswith('_overflow'):
+                ok = ok & ~v
         return ok
 
     def _one_step(self, state, mu=None, nlists=None):

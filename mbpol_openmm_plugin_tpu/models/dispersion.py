@@ -20,11 +20,12 @@ from mbpol_openmm_plugin_tpu import data as _data
 from mbpol_openmm_plugin_tpu.system import (System, minimum_image,
                                             water_positions)
 
-# Site-vs-oxygen offset bound for molecule-pair lists (same convention and
-# value as models/pme_sparse.py PAIR_MARGIN): a water's real sites sit
-# within ~0.125 nm of its O even for thermally stretched OH bonds, so every
-# site pair under the cutoff lives in a molecule pair with O-O distance
-# under cutoff + PAIR_MARGIN.
+# Site-vs-oxygen offset bound for molecule-pair lists (canonical
+# definition; models/pme_sparse.py imports it so both consumers of the
+# shared list use the same radius): a water's real sites sit within
+# ~0.125 nm of its O even for thermally stretched OH bonds, so every site
+# pair under the cutoff lives in a molecule pair with O-O distance under
+# cutoff + PAIR_MARGIN.
 PAIR_MARGIN = 0.25
 
 def tt6(x):

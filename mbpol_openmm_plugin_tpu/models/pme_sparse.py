@@ -34,8 +34,10 @@ from mbpol_openmm_plugin_tpu.utils import units
 _SQRT_PI = np.sqrt(np.pi)
 
 # extra O-O margin so every site-site pair within the cutoff is covered
-# (max site offset from its O: H ~0.10-0.15 nm stretched, M ~0.03 nm)
-PAIR_MARGIN = 0.25
+# (max site offset from its O: H ~0.10-0.15 nm stretched, M ~0.03 nm).
+# Single-sourced from models/dispersion.py: the molecule-pair dispersion
+# path shares this list (models/potential.py), so the radii must match.
+from mbpol_openmm_plugin_tpu.models.dispersion import PAIR_MARGIN  # noqa: E402
 
 
 def _slot_tables(params: elec.ElecParams, dtype):

@@ -199,12 +199,16 @@ class MBPol:
             if not system.periodic or system.n_ions:
                 raise ValueError("dispersion_mode='pairs' requires a "
                                  'periodic water-only system')
+            # one radius for the capacity estimate, the runtime build and
+            # the retune (and identical to the sparse-elec list radius,
+            # which shares the build - pme_sparse imports PAIR_MARGIN)
+            self.disp_pair_cut = (config.cutoff + disp_mod.PAIR_MARGIN
+                                  + config.nlist_skin)
             if self.elec_mode == 'sparse':
                 self.disp_pair_cap = None     # share the elec pair list
             else:
-                cut = config.cutoff + disp_mod.PAIR_MARGIN + config.nlist_skin
                 self.disp_pair_cap = neighbors.pair_capacity(
-                    system.n_waters, system.box, cut,
+                    system.n_waters, system.box, self.disp_pair_cut,
                     factor=config.neighbor_capacity_factor)
                 if mesh is not None:
                     from mbpol_openmm_plugin_tpu.parallel import mesh as M
@@ -362,11 +366,9 @@ class MBPol:
             # with sparse electrostatics below (identical radius and cap)
             cap = (self.elec_pair_cap if self.disp_pair_cap is None
                    else self.disp_pair_cap)
-            cut = (self.config.cutoff + disp_mod.PAIR_MARGIN
-                   + self.config.nlist_skin)
             mp_d, mp_mask_d, n_mp_d = neighbors.pair_list(
                 positions[sys_.o_index],
-                sys_.box if box is None else box, cut, cap)
+                sys_.box if box is None else box, self.disp_pair_cut, cap)
             nl_diag = dict(nl_diag, disp_pair_overflow=n_mp_d > cap)
             disp_pairs = (mp_d, mp_mask_d)
 
@@ -471,8 +473,7 @@ class MBPol:
             self.elec_pair_cap = max(int(margin * n_e) + 16, 64)
         if getattr(self, 'disp_mode', 'dense') == 'pairs' \
                 and self.disp_pair_cap is not None:
-            cut = self.config.cutoff + disp_mod.PAIR_MARGIN + skin
-            _, n_d = native.pair_list(o, box, cut)
+            _, n_d = native.pair_list(o, box, self.disp_pair_cut)
             self.disp_pair_cap = max(int(margin * n_d) + 16, 64)
         if getattr(self, 'elec_mode', 'dense') == 'block':
             from mbpol_openmm_plugin_tpu.ops import elec_pallas_bs as _bs

@@ -92,9 +92,9 @@ class System:
             box=None if box is None else np.asarray(box, np.float64))
 
     @classmethod
-    def from_atom_names(cls, names, resnames, box=None):
+    def from_atom_names(cls, names, resnames, box=None, isotope='H2O'):
         """Build from PDB-style atom/residue name arrays (order O,H1,H2,M per
-        HOH residue, optional Cl residues)."""
+        HOH residue, optional Cl residues). isotope: see `waters`."""
         names = [str(n) for n in names]
         resnames = [str(r) for r in resnames]
         n_waters = sum(1 for n, r in zip(names, resnames) if r == 'HOH' and n == 'O')
@@ -103,7 +103,7 @@ class System:
         got = [n for n, r in zip(names, resnames) if r == 'HOH']
         if got != expected:
             raise ValueError('unsupported atom ordering; expected O,H1,H2,M per water')
-        return cls.waters(n_waters, n_ions, box=box)
+        return cls.waters(n_waters, n_ions, box=box, isotope=isotope)
 
 
 def _contiguous_waters(system: System):
