@@ -84,8 +84,8 @@ def main():
     e, _, dt = total('water50', [1.8] * 3)
     check('water50 PME total', e, -244.37507, 1.0)
     box = 19.3996888399961804 / 10.0
-    e, _, dt = total('water256_integration_test', [box] * 3,
-                     nlist_skin=0.02, max_iterations=200)
+    e, parts256, dt = total('water256_integration_test', [box] * 3,
+                            nlist_skin=0.02, max_iterations=200)
     check('water256 PME total', e, -2270.88890, 20.0)
     print('water256 cold eval wall: %.1f s (incl. compile)' % dt, flush=True)
 
@@ -135,6 +135,21 @@ def main():
     assert not bool(diag_bs['elec_tile_overflow'])
     check('water256 PME total (sharded block-sparse, 1-dev mesh)',
           float(e_bs) * units.KJ_PER_MOL_TO_KCAL_PER_MOL, -2270.88890, 20.0)
+
+    # O(N) molecule-pair dispersion on hardware (models/dispersion.py
+    # dispersion_energy_pairs; the large-N default alongside block-sparse
+    # electrostatics): must equal the dense pair grid at the f32 floor
+    pot_dp = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
+                                     target_epsilon=1e-4, nlist_skin=0.02,
+                                     max_iterations=200,
+                                     dispersion_mode='pairs'))
+    e_dp, f_dp, parts_dp, diag_dp = pot_dp.energy_forces(
+        jnp.asarray(pos, jnp.float32))
+    jax.block_until_ready(f_dp)
+    assert not bool(diag_dp['disp_pair_overflow'])
+    check('water256 dispersion (pairs vs dense)',
+          float(parts_dp['dispersion']) * units.KJ_PER_MOL_TO_KCAL_PER_MOL,
+          parts256['dispersion'], 0.02)
 
     # PIMD production path on hardware: water14 cluster, 4 beads contracted
     # to the centroid - 20 PILE steps must stay finite and the
