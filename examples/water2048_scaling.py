@@ -52,7 +52,7 @@ for mode in MODES:
     if mode == 'block':
         extra = ', tile pairs cap %d' % pot._block_info['tile_pair_capacity']
     print(f'[{mode}] pair capacity {pot.pair_cap}, triplet capacity '
-          f'{pot.trip_cap}{extra}')
+          f'{pot.trip_cap}{extra}, dispersion {pot.disp_mode}')
 
     t0 = time.time()
     e, f, parts, diag = pot._energy_forces(pos)
