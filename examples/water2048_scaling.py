@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tests'))
 
 import numpy as np
 import jax
+# honor JAX_PLATFORMS even when the environment pre-imports jax with a TPU
+# plugin (env vars are read too early; see tests/conftest.py)
+if os.environ.get('JAX_PLATFORMS'):
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
 jax.config.update('jax_compilation_cache_dir',
                   os.environ.get('JAX_COMPILATION_CACHE_DIR',
                                  '/tmp/mbpol_jax_cache'))
@@ -32,7 +36,7 @@ MODES = (sys.argv[2].split(',') if len(sys.argv) > 2
          else (['block', 'dense'] if N_WATERS <= 2048 else ['block']))
 
 reps = {2048: (2, 2, 2), 4096: (2, 2, 4), 6912: (3, 3, 3),
-        8192: (2, 4, 4)}[N_WATERS]
+        8192: (2, 4, 4), 16384: (4, 4, 4), 32768: (4, 4, 8)}[N_WATERS]
 fix = fixtures.load('water256_integration_test')
 b = 19.3996888399961804 / 10.0
 pos_np = np.concatenate([fix['positions'] + np.array([i * b, j * b, k * b])

@@ -134,6 +134,115 @@ def dipole_series(potential, frames):
     return np.asarray(out)
 
 
+def unwrap_trajectory(frames, box):
+    """Undo periodic wrapping of a trajectory so displacements accumulate.
+
+    frames: [n_frames, natoms, 3] (nm), box: [3] (nm). Assumes no atom
+    moves more than box/2 between consecutive frames (true at any sane
+    reporting cadence). Returns the continuous trajectory.
+    """
+    frames = np.asarray(frames, dtype=np.float64)
+    box = np.asarray(box, dtype=np.float64)
+    d = np.diff(frames, axis=0)
+    d -= np.round(d / box) * box
+    return np.concatenate([frames[:1], frames[:1] + np.cumsum(d, axis=0)])
+
+
+def _msd_fft(r):
+    """Einstein MSD of trajectories r [n_frames, k, 3], averaged over the
+    k particles, via the S1 - 2*S2 FFT decomposition (Calandrini et al.,
+    nMoldyn): S2 is the position ACF, S1 comes from cumulative sums of
+    |r|^2. O(n log n) per particle. Returns [n_frames]."""
+    n, k = r.shape[0], r.shape[1]
+    s2 = _acf(r.reshape(n, -1), n)                     # sum over k and xyz
+    q = np.sum(r * r, axis=(1, 2))                     # [n]
+    # S1(tau) = sum_{t<n-tau} (q(t) + q(t+tau)) / (n - tau)
+    csum = np.cumsum(q)
+    total = csum[-1]
+    tau = np.arange(n)
+    head = np.concatenate([[0.0], csum[:-1]])          # sum of q[0:tau]
+    tail = np.concatenate([[0.0], np.cumsum(q[::-1])[:-1]])   # sum of q[n-tau:]
+    s1 = (2.0 * total - head - tail) / (n - tau)
+    return (s1 - 2.0 * s2) / k
+
+
+def mean_squared_displacement(system: System, frames, dt, species='com',
+                              box=None, unwrap=True):
+    """MSD(t) over a trajectory, for self-diffusion analysis.
+
+    frames: [n_frames, natoms, 3] positions (nm); dt: frame spacing (ps).
+    species: 'com' (molecular center of mass - the standard choice for
+    water self-diffusion, isotope-mass aware), 'O', 'H', or 'all' (real
+    atoms). Periodic trajectories are unwrapped first (box defaults to
+    system.box); pass unwrap=False for already-continuous positions.
+
+    Returns (t [n//2] ps, msd [n//2] nm^2) - lags restricted to half the
+    trajectory where the time-origin average is statistically meaningful.
+    """
+    frames = np.asarray(frames, dtype=np.float64)
+    if unwrap:
+        b = box if box is not None else system.box
+        if b is not None and np.all(np.asarray(b) > 0):
+            frames = unwrap_trajectory(frames, np.asarray(b))
+    m = np.asarray(system.masses)
+    if species == 'com':
+        o, h1, h2 = (np.asarray(system.o_index), np.asarray(system.h1_index),
+                     np.asarray(system.h2_index))
+        w = np.stack([m[o], m[h1], m[h2]])             # [3, nmol]
+        r = (w[0, None, :, None] * frames[:, o] +
+             w[1, None, :, None] * frames[:, h1] +
+             w[2, None, :, None] * frames[:, h2]) / w.sum(0)[None, :, None]
+    elif species == 'O':
+        r = frames[:, np.asarray(system.o_index)]
+    elif species == 'H':
+        r = frames[:, np.concatenate([system.h1_index, system.h2_index])]
+    elif species == 'all':
+        r = frames[:, m > 0]
+    else:
+        raise ValueError(species)
+    n = frames.shape[0]
+    msd = _msd_fft(r)[: n // 2]
+    return np.arange(n // 2) * dt, msd
+
+
+def diffusion_coefficient(t, msd, fit_window=(0.2, 0.8)):
+    """Self-diffusion coefficient from the Einstein relation
+    MSD = 6 D t + c, least-squares fit over the fit_window fraction of
+    the lag range (defaults skip the ballistic/caging onset and the
+    noisy tail). t in ps, msd in nm^2; returns D in nm^2/ps
+    (1 nm^2/ps = 1e-2 cm^2/s)."""
+    t = np.asarray(t, np.float64)
+    msd = np.asarray(msd, np.float64)
+    i0 = int(len(t) * fit_window[0])
+    i1 = min(max(int(len(t) * fit_window[1]), i0 + 2), len(t))
+    if i1 - i0 < 2 or t[i0] == t[i1 - 1]:
+        raise ValueError(f'need >= 2 distinct lag times in the fit window; '
+                         f'got {i1 - i0} from a {len(t)}-lag MSD - '
+                         f'use a longer trajectory')
+    slope, _ = np.polyfit(t[i0:i1], msd[i0:i1], 1)
+    return slope / 6.0
+
+
+def static_dielectric(dipoles, volume, temperature):
+    """Static dielectric constant from total-dipole fluctuations under
+    conducting (tin-foil) boundaries - the correct formula for Ewald/PME
+    trajectories (Neumann 1983): eps = 1 + (<M^2>-<M>^2) / (3 eps0 V kB T).
+
+    dipoles: [n_frames, 3] total dipole in Debye (`dipole_series` output);
+    volume: box volume in nm^3 (scalar, or [3] box edge lengths);
+    temperature: K. Returns the dimensionless eps.
+    """
+    mu = np.asarray(dipoles, dtype=np.float64)
+    v = np.asarray(volume, dtype=np.float64)
+    v_nm3 = float(np.prod(v)) if v.ndim else float(v)
+    var_d2 = float(np.sum(np.var(mu, axis=0)))         # Debye^2
+    debye_cm = 3.335640952e-30                          # C*m per Debye
+    eps0 = 8.8541878128e-12                             # F/m
+    kb = 1.380649e-23                                   # J/K
+    return 1.0 + (var_d2 * debye_cm ** 2 /
+                  (3.0 * eps0 * v_nm3 * 1e-27 * kb * float(temperature)))
+
+
 def infrared_spectrum(dipoles, dt, max_lag=None):
     """Classical IR lineshape from a total-dipole time series.
 

@@ -281,11 +281,16 @@ class Simulation:
     def step(self, n_steps):
         if n_steps <= 0:
             return
-        interval = min([r.reportInterval for r in self.reporters
-                        if hasattr(r, 'reportInterval')] + [n_steps])
         done = 0
         while done < n_steps:
-            chunk = min(interval, n_steps - done)
+            # advance to the nearest absolute report boundary (OpenMM's
+            # describeNextReport countdown semantics: a reporter with
+            # interval k fires at global steps k, 2k, ... even when prior
+            # equilibration left the counter off the grid)
+            step = int(self._core.state.step)
+            to_next = [r.reportInterval - step % r.reportInterval
+                       for r in self.reporters if hasattr(r, 'reportInterval')]
+            chunk = min(to_next + [n_steps - done])
             self._core.step(chunk)
             done += chunk
             state = self.context.getState(getEnergy=True, getPositions=True)

@@ -81,6 +81,82 @@ def test_dipole_series_water3():
     assert 0.5 < float(np.linalg.norm(d[0])) < 20.0
 
 
+def test_msd_brownian_recovers_diffusion_coefficient():
+    """An explicit Brownian walk with step variance 2*D*dt per dimension
+    must give MSD = 6 D t, and the Einstein fit must recover D. Wrapping
+    the walk into the box and letting the helper unwrap must not change
+    the answer."""
+    n_frames, n_mol, dt, D = 2048, 32, 0.1, 2.3e-3     # nm^2/ps
+    box = 1.5
+    sys_ = System.waters(n_mol, box=[box] * 3)
+    rng = np.random.default_rng(7)
+    steps = rng.normal(0.0, np.sqrt(2 * D * dt),
+                       size=(n_frames - 1, n_mol, 3))
+    com = np.concatenate([np.zeros((1, n_mol, 3)),
+                          np.cumsum(steps, axis=0)]) + box / 2
+    # rigid molecules riding the COM walk (species='com' sees pure
+    # diffusion): place O so the mass-weighted mean is exactly `com`
+    frames = np.zeros((n_frames, 4 * n_mol, 3))
+    m = np.asarray(sys_.masses)
+    o, h1, h2 = sys_.o_index, sys_.h1_index, sys_.h2_index
+    a = np.array([0.09572, 0.0, 0.0])                  # H1 offset from O
+    b = np.array([-0.024, 0.0927, 0.0])                # H2 offset from O
+    m_tot = (m[o] + m[h1] + m[h2])[:, None]
+    shift = (m[h1][:, None] * a + m[h2][:, None] * b) / m_tot   # [nmol, 3]
+    frames[:, o] = com - shift[None]
+    frames[:, h1] = frames[:, o] + a
+    frames[:, h2] = frames[:, o] + b
+
+    t, msd = analysis.mean_squared_displacement(
+        sys_, frames, dt, species='com', unwrap=False)
+    d_fit = analysis.diffusion_coefficient(t, msd)
+    assert abs(d_fit - D) / D < 0.25, (d_fit, D)
+    # early-time MSD tracks 6 D t closely (many molecules + origins)
+    k = len(t) // 8
+    np.testing.assert_allclose(msd[1:k], 6 * D * t[1:k], rtol=0.2)
+
+    # wrapped into the box -> unwrap reproduces the same MSD exactly
+    # (steps above are << box/2)
+    wrapped = frames - np.floor(frames / box) * box
+    t3, msd3 = analysis.mean_squared_displacement(
+        sys_, wrapped, dt, species='com', box=[box] * 3, unwrap=True)
+    np.testing.assert_allclose(msd3, msd, atol=1e-9)
+
+
+def test_msd_ballistic_is_quadratic():
+    """Constant-velocity 'trajectory': MSD(t) = |v|^2 t^2 exactly, for
+    every species selector."""
+    n, dt, v = 64, 0.5, np.array([0.01, -0.02, 0.005])
+    sys_ = System.waters(3)
+    t_axis = np.arange(n) * dt
+    frames = np.tile(np.linspace(0, 1, 12 * 3).reshape(1, -1, 3), (n, 1, 1))
+    frames = frames + (v[None, :] * t_axis[:, None])[:, None, :]
+    for sp in ('com', 'O', 'H', 'all'):
+        t, msd = analysis.mean_squared_displacement(sys_, frames, dt,
+                                                    species=sp, unwrap=False)
+        np.testing.assert_allclose(msd, float(v @ v) * t ** 2, atol=1e-10)
+
+
+def test_static_dielectric_analytic():
+    """Gaussian total dipole with known per-component variance: the
+    fluctuation formula is checked against an independently hand-derived
+    prefactor (eps - 1 = 30.338 * var_D^2 / (V_nm3 * T)), and a frozen
+    dipole gives exactly eps = 1."""
+    rng = np.random.default_rng(3)
+    sigma = 40.0                                        # Debye
+    mu = rng.normal(0.0, sigma, size=(200000, 3)) + np.array([5.0, 0, -2.0])
+    v_nm3, temp = 7.3, 298.0
+    eps = analysis.static_dielectric(mu, v_nm3, temp)
+    var = float(np.sum(np.var(mu, axis=0)))
+    expect = 1.0 + 30.3383 * var / (v_nm3 * temp)
+    np.testing.assert_allclose(eps, expect, rtol=1e-4)
+    # sample variance of 3*200k ~ sigma^2 within ~1%
+    np.testing.assert_allclose(eps, 1.0 + 30.3383 * 3 * sigma ** 2 /
+                               (v_nm3 * temp), rtol=0.02)
+    assert analysis.static_dielectric(np.tile([3.0, 1.0, 0.0], (10, 1)),
+                                      [2.0, 2.0, 2.0], 300.0) == 1.0
+
+
 def test_infrared_spectrum_harmonic_peak():
     """A dipole oscillating at a known frequency must peak there, and the
     omega^2 prefactor must kill the zero-frequency (static-dipole) bin."""

@@ -92,6 +92,30 @@ def test_md_with_reporters(pdb_dir, tmp_path):
     assert 'MODEL' in open(traj).read()
 
 
+def test_reporters_fire_after_offgrid_equilibration(pdb_dir, tmp_path):
+    """Builder-generated scripts equilibrate (1 step) before attaching the
+    production reporters, leaving the global step counter off the report
+    grid. Reporters with interval k must still fire at absolute steps
+    k, 2k, ... (OpenMM describeNextReport countdown semantics) - a naive
+    `chunk = min(intervals)` walk visits only odd steps and never reports
+    (regression: 200-step builder run wrote zero frames)."""
+    sim = _simulation(pdb_dir['water3'], cutoff=0.9)
+    sim.context.setVelocitiesToTemperature(100 * unit.kelvin)
+    sim.step(1)                                  # equilibration: step == 1
+    log = str(tmp_path / 'run.log')
+    nc_path = str(tmp_path / 'run.nc')
+    sim.reporters.append(app.StateDataReporter(log, 2, step=True,
+                                               potentialEnergy=True))
+    sim.reporters.append(app.NetCDFReporter(nc_path, 2, crds=True, vels=True))
+    sim.step(9)                                  # -> global step 10
+    steps = [int(l.split(',')[0]) for l in open(log).readlines()[1:]]
+    assert steps == [2, 4, 6, 8, 10], steps
+    from scipy.io import netcdf_file
+    nc = netcdf_file(nc_path, mmap=False)
+    assert nc.variables['coordinates'].shape[0] == 5
+    assert nc.variables['velocities'].shape[0] == 5
+
+
 def test_pdb_roundtrip(pdb_dir):
     pdb = app.PDBFile(pdb_dir['water3'])
     ref = fixtures.load('water3')
