@@ -259,11 +259,15 @@ def _eterm_static(setup: PmeSetup):
         return np.where(k < (n + 1) // 2, k, k - n).astype(np.float64)
     mx, my, mz = mvec(None, nx), mvec(None, ny), mvec(None, nz)
     b = mods[0][:, None, None] * mods[1][None, :, None] * mods[2][None, None, :]
-    return mx, my, mz, b
+    # return 1/b: near the Nyquist modes of an odd-order spline the zeta
+    # correction makes b huge (~1e51 for the 3D product), which overflows a
+    # float32 cast to inf; the reciprocal instead underflows cleanly to 0,
+    # the correct eterm limit for those modes
+    return mx, my, mz, 1.0 / b
 
 
 def _eterm(setup: PmeSetup, dtype=None, box=None):
-    mx, my, mz, b = _eterm_static(setup)
+    mx, my, mz, binv = _eterm_static(setup)
     box = np.asarray(setup.box) if box is None else box
     alpha = setup.alpha
     mhx = jnp.asarray(mx) / box[0]
@@ -274,7 +278,7 @@ def _eterm(setup: PmeSetup, dtype=None, box=None):
     expfac = np.pi * np.pi / (alpha * alpha)
     scale = 1.0 / (np.pi * box[0] * box[1] * box[2])
     m2safe = jnp.where(m2 > 0, m2, 1.0)
-    et = scale * jnp.exp(-expfac * m2safe) / (m2safe * jnp.asarray(b))
+    et = scale * jnp.exp(-expfac * m2safe) / m2safe * jnp.asarray(binv)
     return jnp.where(m2 > 0, et, 0.0)
 
 
