@@ -184,25 +184,54 @@ def mean_squared_displacement(system: System, frames, dt, species='com',
         b = box if box is not None else system.box
         if b is not None and np.all(np.asarray(b) > 0):
             frames = unwrap_trajectory(frames, np.asarray(b))
+    r = _species_select(system, frames, species)
+    n = frames.shape[0]
+    msd = _msd_fft(r)[: n // 2]
+    return np.arange(n // 2) * dt, msd
+
+
+def _species_select(system: System, arr, species):
+    """[n_frames, natoms, 3] -> [n_frames, k, 3] per-species selection.
+    'com' is the mass-weighted molecular average (valid for positions AND
+    velocities - the COM velocity is the same weighted mean)."""
     m = np.asarray(system.masses)
     if species == 'com':
         o, h1, h2 = (np.asarray(system.o_index), np.asarray(system.h1_index),
                      np.asarray(system.h2_index))
         w = np.stack([m[o], m[h1], m[h2]])             # [3, nmol]
-        r = (w[0, None, :, None] * frames[:, o] +
-             w[1, None, :, None] * frames[:, h1] +
-             w[2, None, :, None] * frames[:, h2]) / w.sum(0)[None, :, None]
-    elif species == 'O':
-        r = frames[:, np.asarray(system.o_index)]
-    elif species == 'H':
-        r = frames[:, np.concatenate([system.h1_index, system.h2_index])]
-    elif species == 'all':
-        r = frames[:, m > 0]
-    else:
-        raise ValueError(species)
-    n = frames.shape[0]
-    msd = _msd_fft(r)[: n // 2]
-    return np.arange(n // 2) * dt, msd
+        return (w[0, None, :, None] * arr[:, o] +
+                w[1, None, :, None] * arr[:, h1] +
+                w[2, None, :, None] * arr[:, h2]) / w.sum(0)[None, :, None]
+    if species == 'O':
+        return arr[:, np.asarray(system.o_index)]
+    if species == 'H':
+        return arr[:, np.concatenate([system.h1_index, system.h2_index])]
+    if species == 'all':
+        return arr[:, m > 0]
+    raise ValueError(species)
+
+
+def diffusion_coefficient_gk(system: System, velocities, dt, species='com',
+                             max_lag=None):
+    """Green-Kubo self-diffusion: the running integral
+    D(t) = (1/3) int_0^t <v(0).v(s)> ds of the (unnormalized, per-particle)
+    velocity autocorrelation, averaged over molecules and time origins.
+    Cross-checks the Einstein-MSD route (`diffusion_coefficient`); both
+    converge to the same D for a long enough trajectory.
+
+    velocities: [n_frames, natoms, 3] (nm/ps); dt: frame spacing (ps) -
+    must resolve the VACF decay (use the MD step cadence, not a sparse
+    reporting cadence). Returns (t [max_lag] ps, D_running [max_lag]
+    nm^2/ps); read D off the plateau a few VACF relaxation times in
+    (for water, average D_running over t ~ 1-5 ps) - the deep tail of the
+    running integral random-walks as ACF noise accumulates.
+    """
+    v = _species_select(system, np.asarray(velocities, np.float64), species)
+    n, k = v.shape[0], v.shape[1]
+    acf = _acf(v.reshape(n, -1), max_lag or n // 2) / k   # <v(0).v(t)> [3dim]
+    # trapezoid cumulative integral, D(0) = 0
+    run = np.concatenate([[0.0], np.cumsum(0.5 * (acf[1:] + acf[:-1]) * dt)])
+    return np.arange(len(acf)) * dt, run / 3.0
 
 
 def diffusion_coefficient(t, msd, fit_window=(0.2, 0.8)):

@@ -137,6 +137,44 @@ def test_msd_ballistic_is_quadratic():
         np.testing.assert_allclose(msd, float(v @ v) * t ** 2, atol=1e-10)
 
 
+def test_green_kubo_ou_process_matches_einstein():
+    """Ornstein-Uhlenbeck velocities (exact discretization, relaxation
+    rate gamma, stationary per-dimension variance s^2) have
+    <v(0).v(t)> = 3 s^2 exp(-gamma t), so D = s^2/gamma exactly. The
+    Green-Kubo running integral must plateau there, and the Einstein-MSD
+    fit on the integrated positions must agree."""
+    n, n_mol, dt = 8192, 128, 0.02
+    gamma, s = 4.0, 0.3                                 # 1/ps, nm/ps
+    d_true = s * s / gamma
+    sys_ = System.waters(n_mol)
+    rng = np.random.default_rng(11)
+    a = np.exp(-gamma * dt)
+    v_mol = np.empty((n, n_mol, 3))
+    v_mol[0] = rng.normal(0.0, s, (n_mol, 3))
+    noise = rng.normal(0.0, s * np.sqrt(1 - a * a), (n - 1, n_mol, 3))
+    for i in range(1, n):
+        v_mol[i] = a * v_mol[i - 1] + noise[i - 1]
+    # every site of a molecule rides the molecular velocity -> the COM
+    # velocity IS v_mol regardless of masses
+    vel = np.repeat(v_mol, 4, axis=1)
+
+    t, d_run = analysis.diffusion_coefficient_gk(sys_, vel, dt,
+                                                 species='com')
+    # read the plateau where the ACF has decayed (5-15 relaxation times)
+    # but before tail noise accumulates in the running integral
+    k5, k15 = int(5.0 / gamma / dt), int(15.0 / gamma / dt)
+    plateau = d_run[k5:k15].mean()
+    assert abs(plateau - d_true) / d_true < 0.1, (plateau, d_true)
+
+    # Einstein route on the integrated trajectory agrees
+    pos = np.concatenate([np.zeros((1, 4 * n_mol, 3)),
+                          np.cumsum(vel[:-1] * dt, axis=0)])
+    tm, msd = analysis.mean_squared_displacement(sys_, pos, dt,
+                                                 species='com', unwrap=False)
+    d_msd = analysis.diffusion_coefficient(tm, msd)
+    assert abs(d_msd - d_true) / d_true < 0.15, (d_msd, d_true)
+
+
 def test_static_dielectric_analytic():
     """Gaussian total dipole with known per-component variance: the
     fluctuation formula is checked against an independently hand-derived
