@@ -248,17 +248,19 @@ def pip_apply(name):
             return pip_energy_grad_tpu(name, x)
         return pip_energy_and_grad(x, jnp.asarray(exponents), jnp.asarray(coeffs))
 
-    @jax.custom_vjp
+    @jax.custom_jvp
     def f(x):
         return impl(x)[0]
 
-    def fwd(x):
+    @f.defjvp
+    def f_jvp(primals, tangents):
+        # custom_jvp (not custom_vjp) so the PIP term is differentiable in
+        # BOTH modes from the one analytic gradient: reverse (forces) via
+        # transposition of the linear tangent rule, and forward (jvp) for
+        # scalar derivatives like the virial dU/dlambda (md/pressure.py),
+        # where reverse-mode is unavailable through the SCF while_loop.
+        (x,), (xdot,) = primals, tangents
         e, g = impl(x)
-        return e, (g,)
+        return e, jnp.sum(g * xdot, axis=-1)
 
-    def bwd(res, ct):
-        (g,) = res
-        return (g * ct[:, None],)
-
-    f.defvjp(fwd, bwd)
     return f
