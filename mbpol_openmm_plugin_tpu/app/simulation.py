@@ -125,13 +125,19 @@ class StateDataReporter:
     def __init__(self, file, reportInterval, step=False, time=False,
                  potentialEnergy=False, kineticEnergy=False, totalEnergy=False,
                  temperature=False, volume=False, density=False, progress=False,
-                 remainingTime=False, speed=False, totalSteps=1, separator=','):
+                 remainingTime=False, speed=False, pressure=False,
+                 totalSteps=1, separator=','):
+        # pressure= is a superset of OpenMM's StateDataReporter surface:
+        # the instantaneous molecular virial pressure (bar) from
+        # md/pressure.py (exact dU/dlambda by autodiff). Costs roughly one
+        # extra potential evaluation per report; periodic systems only.
         self._file = file
         self.reportInterval = int(reportInterval)
         self._opts = dict(step=step, time=time, potentialEnergy=potentialEnergy,
                           kineticEnergy=kineticEnergy, totalEnergy=totalEnergy,
                           temperature=temperature, volume=volume, density=density,
-                          progress=progress, remainingTime=remainingTime, speed=speed)
+                          progress=progress, remainingTime=remainingTime,
+                          speed=speed, pressure=pressure)
         self.totalSteps = totalSteps
         self.sep = separator
         self._fh = None
@@ -183,6 +189,12 @@ class StateDataReporter:
                 mass = float(np.sum(core.system.masses))  # amu
                 headers.append('Density (g/mL)')
                 values.append('%.5f' % (mass / vol * 1.66053906660e-3))
+        if o['pressure']:
+            from mbpol_openmm_plugin_tpu.md import pressure as _pr
+            headers.append('Pressure (bar)')
+            values.append('%.2f' % float(_pr.virial_pressure(
+                core.potential, core.state.positions,
+                velocities=core.state.velocities, box=core.state.box)))
         if o['speed']:
             headers.append('Speed (ns/day)')
             el = time.time() - self._t0[0]

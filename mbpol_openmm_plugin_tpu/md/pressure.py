@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mbpol_openmm_plugin_tpu.utils import units
 
@@ -63,30 +64,41 @@ def virial_pressure(potential, positions, velocities=None,
     """
     system = potential.system
     b = box if box is not None else system.box
-    if b is None:
+    if b is None or not np.all(np.asarray(b) > 0):
         raise ValueError('virial_pressure needs a periodic system')
-    b = jnp.asarray(b, jnp.asarray(positions).dtype)
     positions = jnp.asarray(positions)
-    mol = jnp.asarray(system.mol_index)
-    com, mol_mass = _molecular_coms(system, positions)
+    b = jnp.asarray(b, positions.dtype)
 
-    def energy(lam):
-        shift = com * (lam - 1.0)
-        pos = positions + shift[mol]
-        e, _, _, _ = potential._energy_forces_impl(pos, box=b * lam)
-        return e
+    fn = getattr(potential, '_virial_du_jit', None)
+    if fn is None:
+        mol = jnp.asarray(system.mol_index)
 
-    # forward-mode: reverse cannot cross the SCF while_loop, but a JVP
-    # carries the tangent through it (and the variational energy makes the
-    # dipole-tangent contribution vanish at convergence). The traced box
-    # also routes electrostatics onto the XLA (non-Pallas) path.
-    one = jnp.asarray(1.0, positions.dtype)
-    _, du_dlam = jax.jvp(energy, (one,), (one,))
+        def du(pos0, box0):
+            com, _ = _molecular_coms(system, pos0)
+
+            def energy(lam):
+                pos = pos0 + (com * (lam - 1.0))[mol]
+                e, _, _, _ = potential._energy_forces_impl(pos,
+                                                           box=box0 * lam)
+                return e
+
+            # forward-mode: reverse cannot cross the SCF while_loop, but a
+            # JVP carries the tangent through it (and the variational
+            # energy makes the dipole-tangent contribution vanish at
+            # convergence). The traced box also routes electrostatics onto
+            # the XLA (non-Pallas) path.
+            one = jnp.asarray(1.0, pos0.dtype)
+            return jax.jvp(energy, (one,), (one,))[1]
+
+        fn = jax.jit(du)
+        potential._virial_du_jit = fn
+
+    du_dlam = fn(positions, b)
     vol = b[0] * b[1] * b[2]
     nmol = int(system.mol_index.max()) + 1
 
     if velocities is not None:
-        vcom, _ = _molecular_coms(system, jnp.asarray(velocities))
+        vcom, mol_mass = _molecular_coms(system, jnp.asarray(velocities))
         twice_k = jnp.sum(mol_mass[:, None] * vcom * vcom)
     elif temperature_k is not None:
         twice_k = 3.0 * nmol * units.BOLTZMANN_KJ_MOL_K * temperature_k

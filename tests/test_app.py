@@ -116,6 +116,22 @@ def test_reporters_fire_after_offgrid_equilibration(pdb_dir, tmp_path):
     assert nc.variables['velocities'].shape[0] == 5
 
 
+def test_statedata_pressure_column(pdb_dir, tmp_path):
+    """pressure=True (superset of OpenMM's StateDataReporter) writes a
+    finite instantaneous virial pressure for a periodic (PME) system."""
+    sim = _simulation(pdb_dir['water3'], nonbondedMethod=app.PME,
+                      cutoff=0.8, box=(1.8, 1.8, 1.8))
+    sim.context.setVelocitiesToTemperature(300 * unit.kelvin)
+    log = str(tmp_path / 'p.log')
+    sim.reporters.append(app.StateDataReporter(log, 2, step=True,
+                                               pressure=True))
+    sim.step(4)
+    lines = open(log).readlines()
+    assert 'Pressure (bar)' in lines[0]
+    p = [float(l.split(',')[1]) for l in lines[1:]]
+    assert len(p) == 2 and all(np.isfinite(p)), p
+
+
 def test_pdb_roundtrip(pdb_dir):
     pdb = app.PDBFile(pdb_dir['water3'])
     ref = fixtures.load('water3')
