@@ -22,6 +22,23 @@ from mbpol_openmm_plugin_tpu.models.potential import MBPol
 from mbpol_openmm_plugin_tpu.utils import units
 
 
+def health_flag(diag):
+    """Scalar health flag from a diagnostics dict (SCF convergence, padded
+    list overflow). Mirrors the reference's throw-on-bad-state checks
+    (induced-dipole non-convergence throws, cpp:888-894; CUDA's neighbor
+    overflow re-try, CudaMBPolKernels.cpp:1787) as a returned flag instead
+    of an in-jit exception."""
+    ok = jnp.ones((), bool)
+    if 'converged' in diag:
+        ok = ok & diag['converged']
+    # any padded-capacity overflow flag is fatal (pair/triplet lists,
+    # elec molecule pairs, elec tile pairs, dispersion pairs, ...)
+    for k, v in diag.items():
+        if k.endswith('_overflow'):
+            ok = ok & ~v
+    return ok
+
+
 @dataclasses.dataclass
 class SimulationConfig:
     dt: float = 0.0002                  # ps (0.2 fs, cluster default of the reference examples)
@@ -79,21 +96,7 @@ class Simulation:
         return e, f
 
     def _health(self, diag):
-        """Health flags from a diagnostics dict (SCF convergence, neighbor
-        list overflow). Mirrors the reference's throw-on-bad-state checks
-        (induced-dipole non-convergence throws, cpp:888-894; CUDA's neighbor
-        overflow re-try, CudaMBPolKernels.cpp:1787) as a returned flag
-        instead of an in-jit exception."""
-        ok = jnp.ones((), bool)
-        for k in ('converged',):
-            if k in diag:
-                ok = ok & diag[k]
-        # any padded-capacity overflow flag is fatal (pair/triplet lists,
-        # elec molecule pairs, elec tile pairs, dispersion pairs, ...)
-        for k, v in diag.items():
-            if k.endswith('_overflow'):
-                ok = ok & ~v
-        return ok
+        return health_flag(diag)
 
     def _one_step(self, state, mu=None, nlists=None):
         cfg = self.config
