@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from mbpol_openmm_plugin_tpu.system import System
+from mbpol_openmm_plugin_tpu.utils.units import BOLTZMANN_KJ_MOL_K as _KB_KJ_MOL_K
 
 
 def radial_distribution(system: System, frames, r_max=None, n_bins=200,
@@ -289,3 +290,88 @@ def infrared_spectrum(dipoles, dt, max_lag=None):
     mudot = (mu[2:] - mu[:-2]) / (2.0 * dt)       # central difference
     acf = _acf(mudot, max_lag or mudot.shape[0] // 2)
     return _spectrum(acf, dt)
+
+
+def _logsumexp(a, axis):
+    m = np.max(a, axis=axis, keepdims=True)
+    return np.squeeze(
+        m + np.log(np.sum(np.exp(a - m), axis=axis, keepdims=True)),
+        axis=axis)
+
+
+def mbar_free_energies(energies, temperatures, tol=1e-10, max_iter=20000):
+    """MBAR (Shirts & Chodera, J. Chem. Phys. 129, 124105 (2008)) for a
+    temperature ladder: the dimensionless free energies f_k of each
+    ladder state, from per-slot potential-energy samples. The natural
+    post-processing companion of md/remd.py - together with
+    `mbar_reweight` it turns a parallel-tempering run into observables
+    at ANY temperature in the ladder's range, not just the simulated
+    ones. (The reference delegates all analysis to external tools.)
+
+    energies: [K, N] kJ/mol - N samples from each of the K ladder slots
+    (e.g. `REMDSimulation.run()['potential_energy'].T`). In a
+    temperature ladder the reduced potential of state k at configuration
+    x is u_k(x) = beta_k U(x), so only the scalar U samples are needed.
+    temperatures: [K] kelvin, matching the slot order.
+
+    Returns f [K] (dimensionless, f[0] = 0) solving the self-consistent
+    MBAR equations by direct iteration with log-sum-exp stabilization.
+    """
+    U = np.asarray(energies, np.float64)
+    K, N = U.shape
+    T = np.asarray(temperatures, np.float64)
+    if T.shape != (K,):
+        raise ValueError(f'temperatures shape {T.shape} != ({K},)')
+    betas = 1.0 / (_KB_KJ_MOL_K * T)
+    u_pool = U.reshape(-1)                       # pooled samples [K*N]
+    u_kn = betas[:, None] * u_pool[None, :]      # [K, K*N]
+    logN = np.log(N)
+    f = np.zeros(K)
+    for _ in range(max_iter):
+        log_denom = _logsumexp(logN + f[:, None] - u_kn, axis=0)
+        f_new = -_logsumexp(-u_kn - log_denom[None, :], axis=1)
+        f_new = f_new - f_new[0]
+        done = np.max(np.abs(f_new - f)) < tol
+        f = f_new
+        if done:
+            return f
+    raise RuntimeError(f'MBAR did not converge in {max_iter} iterations '
+                       f'(last f = {f})')
+
+
+def mbar_reweight(energies, temperatures, target_temperature, f=None,
+                  observable=None):
+    """Reweight pooled ladder samples to an arbitrary target temperature.
+
+    energies: [K, N] kJ/mol as in `mbar_free_energies`; observable:
+    optional per-sample values, [K, N] or [K, N, ...] in the same slot
+    order. f: precomputed `mbar_free_energies` output (computed here if
+    omitted).
+
+    Returns a dict with `weights` [K*N] (normalized MBAR weights of the
+    pooled samples at the target temperature), `n_eff` (Kish effective
+    sample size 1/sum(w^2)), and - when `observable` is given - `mean`,
+    its weighted expectation at the target temperature.
+    """
+    U = np.asarray(energies, np.float64)
+    K, N = U.shape
+    T = np.asarray(temperatures, np.float64)
+    if f is None:
+        f = mbar_free_energies(U, T)
+    betas = 1.0 / (_KB_KJ_MOL_K * T)
+    beta_t = 1.0 / (_KB_KJ_MOL_K * float(target_temperature))
+    u_pool = U.reshape(-1)
+    u_kn = betas[:, None] * u_pool[None, :]
+    log_denom = _logsumexp(np.log(N) + np.asarray(f)[:, None] - u_kn, axis=0)
+    log_w = -beta_t * u_pool - log_denom
+    log_w -= _logsumexp(log_w, axis=0)
+    w = np.exp(log_w)
+    out = dict(weights=w, n_eff=1.0 / np.sum(w * w))
+    if observable is not None:
+        a = np.asarray(observable, np.float64)
+        if a.shape[:2] != (K, N):
+            raise ValueError(f'observable shape {a.shape} does not start '
+                             f'with ({K}, {N})')
+        a = a.reshape(K * N, *a.shape[2:])
+        out['mean'] = np.tensordot(w, a, axes=(0, 0))
+    return out

@@ -368,3 +368,10 @@ class REMDSimulation:
         self._accept_sum = np.asarray(ck['accept_sum']).copy()
         self._exchange_attempts = np.asarray(ck['exchange_attempts']).copy()
         self._mu = jnp.asarray(ck['mu']) if 'mu' in ck else None
+
+    def save_checkpoint(self, path):
+        np.savez(path, **self.checkpoint())
+
+    def load_checkpoint_file(self, path):
+        with np.load(path) as z:
+            self.load_checkpoint({k: z[k] for k in z.files})

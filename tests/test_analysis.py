@@ -209,3 +209,38 @@ def test_infrared_spectrum_harmonic_peak():
     # the static z-dipole contributes nothing beyond the windowing
     # leakage floor (derivative form kills the DC line itself)
     assert inten[0] < 1e-3 * inten.max()
+
+
+def test_mbar_harmonic_ladder():
+    """MBAR free energies + reweighting against exact harmonic results:
+    Z(beta) ~ beta^(-d/2) so f_k - f_0 = (d/2) ln(beta_k/beta_0), and
+    <U>(beta) = d/(2 beta). Samples drawn directly from the canonical
+    Gaussian at each ladder temperature (the estimator's input contract -
+    what REMD produces per slot)."""
+    rng = np.random.default_rng(0)
+    kB = 8.31446261815324e-3
+    d, K, N = 6, 4, 4000
+    T = np.geomspace(250.0, 450.0, K)
+    kappa = 2000.0
+    U = np.stack([
+        0.5 * kappa * (rng.normal(0.0, np.sqrt(kB * t / kappa),
+                                  (N, d)) ** 2).sum(-1) for t in T])
+    f = analysis.mbar_free_energies(U, T)
+    betas = 1.0 / (kB * T)
+    f_exact = 0.5 * d * np.log(betas / betas[0])
+    np.testing.assert_allclose(f, f_exact, atol=0.02)
+
+    out = analysis.mbar_reweight(U, T, 330.0, f=f, observable=U)
+    assert abs(out['mean'] - 0.5 * d * kB * 330.0) < 0.1
+    assert 0.2 * K * N < out['n_eff'] <= K * N
+    np.testing.assert_allclose(out['weights'].sum(), 1.0, rtol=1e-12)
+
+    # reweighting AT a simulated temperature reproduces that slot's mean
+    out2 = analysis.mbar_reweight(U, T, float(T[2]), f=f, observable=U)
+    assert abs(out2['mean'] - U[2].mean()) < 0.15, (out2['mean'], U[2].mean())
+
+    # shape validation
+    with pytest.raises(ValueError):
+        analysis.mbar_free_energies(U, T[:2])
+    with pytest.raises(ValueError):
+        analysis.mbar_reweight(U, T, 300.0, f=f, observable=U[:2])

@@ -160,3 +160,63 @@ def test_builder_renders_isotope(tmp_path):
                          src], capture_output=True, text=True,
                         env=dict(os.environ, PYTHONPATH=REPO))
     assert 'isotope' not in r0.stdout
+
+
+def test_builder_renders_remd_section(tmp_path):
+    """[remd] INI section renders an REMDSimulation driver script."""
+    ini = os.path.join(REPO, 'examples', 'example_ini',
+                       'mbpol_cluster_remd.ini')
+    r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                        ini], capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO))
+    assert r.returncode == 0, r.stderr
+    assert 'REMDSimulation' in r.stdout
+    assert 'geometric_ladder(250.0, 400.0, 4)' in r.stdout
+    assert 'exchange_interval=25' in r.stdout
+    import ast
+    ast.parse(r.stdout)
+
+    # [pimd] + [remd] is rejected
+    import configparser
+    cfg = configparser.ConfigParser()
+    cfg.read(ini)
+    cfg.add_section('pimd')
+    cfg['pimd']['n_beads'] = '2'
+    bad = tmp_path / 'bad.ini'
+    with open(bad, 'w') as f:
+        cfg.write(f)
+    r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                        str(bad)], capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO))
+    assert r.returncode != 0
+    assert 'mutually exclusive' in r.stderr + r.stdout
+
+
+@pytest.mark.slow
+def test_builder_remd_end_to_end(tmp_path):
+    """Render and EXECUTE a tiny REMD INI (2 replicas, 2x2 steps)."""
+    subprocess.run([sys.executable, os.path.join(REPO, 'examples', 'make_inputs.py')],
+                   check=True, cwd=str(tmp_path))
+    import shutil
+    shutil.copy(os.path.join(REPO, 'examples', 'water14_cluster.pdb'),
+                tmp_path / 'water14_cluster.pdb')
+    src = open(os.path.join(REPO, 'examples', 'example_ini',
+                            'mbpol_cluster_remd.ini')).read()
+    src = (src.replace('n_replicas = 4', 'n_replicas = 2')
+              .replace('exchange_interval = 25', 'exchange_interval = 2')
+              .replace('equilibration_steps = 100', 'equilibration_steps = 2')
+              .replace('production_steps = 1000', 'production_steps = 4'))
+    ini = tmp_path / 'remd.ini'
+    ini.write_text(src)
+    script = tmp_path / 'run_remd.py'
+    r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                        str(ini), str(script)], cwd=str(tmp_path),
+                       capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS='cpu'))
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([sys.executable, str(script)], cwd=str(tmp_path),
+                       capture_output=True, text=True, timeout=1200,
+                       env=dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS='cpu'))
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert 'slot,T_K,U_kcalmol,acceptance_to_next' in r.stdout
+    assert (tmp_path / 'water14_remd_remd.npz').exists()
