@@ -375,3 +375,135 @@ def mbar_reweight(energies, temperatures, target_temperature, f=None,
         a = a.reshape(K * N, *a.shape[2:])
         out['mean'] = np.tensordot(w, a, axes=(0, 0))
     return out
+
+
+def static_structure_factor(system: System, frames, q_max=30.0,
+                            n_bins=60, species='O'):
+    """Static structure factor S(q) of the selected sites, spherically
+    averaged over the reciprocal lattice of the periodic box:
+    S(q) = <|sum_j exp(i q.r_j)|^2> / N at the allowed q = 2 pi n / L,
+    binned by |q|. The X-ray/neutron-facing complement of g(r), computed
+    directly (no Fourier transform of g(r), so no truncation ripples).
+
+    frames: [n_frames, natoms, 3] nm (periodic systems only).
+    q_max: 1/nm. species: 'O', 'H', or 'all' (all real sites).
+    Returns (q_centers [<=n_bins], S [<=n_bins]) - bins with no allowed
+    lattice vector are dropped.
+    """
+    frames = np.asarray(frames)
+    if frames.ndim == 2:
+        frames = frames[None]
+    if system.box is None:
+        raise ValueError('structure factor needs a periodic box')
+    box = np.asarray(system.box, np.float64)
+    if species == 'O':
+        idx = system.o_index
+    elif species == 'H':
+        idx = np.concatenate([system.h1_index, system.h2_index])
+    elif species == 'all':
+        idx = np.where(np.asarray(system.masses) > 0)[0]
+    else:
+        raise ValueError(f'unknown species {species!r}')
+
+    # allowed reciprocal-lattice vectors with 0 < |q| <= q_max, one
+    # hemisphere (S(-q) = S(q) for real densities)
+    nmax = np.floor(q_max * box / (2.0 * np.pi)).astype(int)
+    gx, gy, gz = np.meshgrid(*(np.arange(-n, n + 1) for n in nmax),
+                             indexing='ij')
+    n_vec = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    hemi = ((n_vec[:, 0] > 0) | ((n_vec[:, 0] == 0) & (n_vec[:, 1] > 0)) |
+            ((n_vec[:, 0] == 0) & (n_vec[:, 1] == 0) & (n_vec[:, 2] > 0)))
+    q_vec = 2.0 * np.pi * n_vec[hemi] / box
+    q_abs = np.linalg.norm(q_vec, axis=1)
+    keep = q_abs <= q_max
+    q_vec, q_abs = q_vec[keep], q_abs[keep]
+
+    s_q = np.zeros(len(q_vec))
+    for f in frames:
+        phase = f[idx] @ q_vec.T                    # [nsel, nq]
+        rho_re = np.cos(phase).sum(axis=0)
+        rho_im = np.sin(phase).sum(axis=0)
+        s_q += (rho_re ** 2 + rho_im ** 2) / len(idx)
+    s_q /= len(frames)
+
+    edges = np.linspace(0.0, q_max, n_bins + 1)
+    which = np.digitize(q_abs, edges) - 1
+    counts = np.bincount(which, minlength=n_bins)[:n_bins]
+    sums = np.bincount(which, weights=s_q, minlength=n_bins)[:n_bins]
+    q_sums = np.bincount(which, weights=q_abs, minlength=n_bins)[:n_bins]
+    nz = counts > 0
+    return q_sums[nz] / counts[nz], sums[nz] / counts[nz]
+
+
+def hydrogen_bonds(system: System, frames, r_oo_max=0.35,
+                   angle_max_deg=30.0):
+    """Per-frame hydrogen-bond count with the standard geometric
+    criterion (Luzar & Chandler, Nature 379, 55 (1996)): donor-acceptor
+    O..O distance < r_oo_max (nm) AND the H-O_d-O_a angle < angle_max_deg.
+    Periodic systems use minimum-image separations.
+
+    frames: [n_frames, natoms, 3] nm. Returns [n_frames] int counts
+    (each donated H counted once; a water can donate up to 2 and accept
+    up to 2, ~3.5 total per molecule in bulk liquid water).
+    """
+    frames = np.asarray(frames)
+    if frames.ndim == 2:
+        frames = frames[None]
+    box = None if system.box is None else np.asarray(system.box)
+    o_idx = np.asarray(system.o_index)
+    cos_max = np.cos(np.deg2rad(angle_max_deg))
+    counts = np.zeros(len(frames), np.int64)
+
+    def mi(d):
+        return d - np.round(d / box) * box if box is not None else d
+
+    for fi, f in enumerate(frames):
+        o = f[o_idx]
+        d_oo = mi(o[None] - o[:, None])     # [donor i, acceptor k, 3]
+        r_oo = np.linalg.norm(d_oo, axis=-1)
+        np.fill_diagonal(r_oo, np.inf)
+        close = r_oo < r_oo_max
+        n = 0
+        for h_idx in (system.h1_index, system.h2_index):
+            d_oh = mi(f[h_idx] - f[o_idx])              # donor O -> its H
+            u_oh = d_oh / np.linalg.norm(d_oh, axis=-1, keepdims=True)
+            u_oo = d_oo / np.where(np.isfinite(r_oo), r_oo, 1.0)[..., None]
+            cos_a = np.einsum('ij,ikj->ik', u_oh, u_oo)  # donor i, acceptor k
+            n += int(np.sum(close & (cos_a > cos_max)))
+        counts[fi] = n
+    return counts
+
+
+def tetrahedral_order(system: System, frames):
+    """Per-frame mean orientational tetrahedral order parameter
+    (Errington & Debenedetti, Nature 409, 318 (2001)):
+    q_i = 1 - 3/8 sum_{j<k in 4 nearest O} (cos psi_jik + 1/3)^2,
+    q = 1 for a perfect tetrahedron, <q> = 0 for an ideal gas.
+
+    frames: [n_frames, natoms, 3] nm. Returns [n_frames] means over
+    molecules. Needs >= 5 waters.
+    """
+    frames = np.asarray(frames)
+    if frames.ndim == 2:
+        frames = frames[None]
+    box = None if system.box is None else np.asarray(system.box)
+    o_idx = np.asarray(system.o_index)
+    if len(o_idx) < 5:
+        raise ValueError('tetrahedral order needs >= 5 waters')
+    out = np.zeros(len(frames))
+    for fi, f in enumerate(frames):
+        o = f[o_idx]
+        d = o[:, None] - o[None]
+        if box is not None:
+            d -= np.round(d / box) * box
+        r = np.linalg.norm(d, axis=-1)
+        np.fill_diagonal(r, np.inf)
+        nn = np.argsort(r, axis=1)[:, :4]               # 4 nearest
+        vec = -d[np.arange(len(o))[:, None], nn]        # center -> neighbor
+        u = vec / np.linalg.norm(vec, axis=-1, keepdims=True)
+        cosjk = np.einsum('iad,ibd->iab', u, u)
+        jj, kk = np.triu_indices(4, 1)
+        q = 1.0 - 0.375 * np.sum((cosjk[:, jj, kk] + 1.0 / 3.0) ** 2,
+                                 axis=1)
+        out[fi] = q.mean()
+    return out

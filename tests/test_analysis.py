@@ -244,3 +244,90 @@ def test_mbar_harmonic_ladder():
         analysis.mbar_free_energies(U, T[:2])
     with pytest.raises(ValueError):
         analysis.mbar_reweight(U, T, 300.0, f=f, observable=U[:2])
+
+
+def test_structure_factor_ideal_gas_and_bragg():
+    rng = np.random.default_rng(1)
+    L = 2.0
+    # ideal gas: S(q) = 1 exactly in expectation at every allowed q != 0
+    sys_ = System.waters(32, box=[L, L, L])
+    frames = np.zeros((40, sys_.n_atoms, 3))
+    frames[:, sys_.o_index] = rng.uniform(0, L, (40, 32, 3))
+    q, s = analysis.static_structure_factor(sys_, frames, q_max=25.0)
+    assert (q > 0).all() and len(q) > 5
+    assert abs(np.mean(s) - 1.0) < 0.15, np.mean(s)
+
+    # simple-cubic Bragg peak: oxygens on an m^3 lattice of spacing a ->
+    # S = N exactly at q = 2 pi/a. m = 4 so the Bragg magnitude bin
+    # contains ONLY reciprocal-lattice vectors (|n|^2 = 16 has no
+    # non-axis integer solutions; |n|^2 = 9 would mix in (2,2,1)-type
+    # vectors and dilute the peak)
+    m = 4
+    a = L / m
+    sysl = System.waters(m ** 3, box=[L, L, L])
+    g = np.stack(np.meshgrid(*([np.arange(m) * a] * 3),
+                             indexing='ij'), -1).reshape(-1, 3)
+    f = np.zeros((1, sysl.n_atoms, 3))
+    f[0, sysl.o_index] = g
+    q_b = 2.0 * np.pi / a
+    qv, sv = analysis.static_structure_factor(sysl, f, q_max=q_b + 1.0,
+                                              n_bins=400)
+    peak = sv[np.argmin(np.abs(qv - q_b))]
+    np.testing.assert_allclose(peak, m ** 3, rtol=1e-10)
+    # and S << N away from the Bragg condition
+    off = sv[(qv > 2.0) & (qv < 0.8 * q_b)]
+    assert (off < 1e-10).all()
+
+
+def test_hydrogen_bonds_geometric_criterion():
+    sys_ = System.waters(2)
+    pos = np.zeros((8, 3))
+    r_oh = 0.0957
+    # donor: O at origin, H1 pointing straight at the acceptor
+    pos[0] = [0.0, 0.0, 0.0]
+    pos[1] = [r_oh, 0.0, 0.0]
+    pos[2] = [-0.024, 0.0928, 0.0]     # H2 off-axis (104.5 deg)
+    # acceptor at 0.29 nm, its hydrogens pointing away
+    pos[4] = [0.29, 0.0, 0.0]
+    pos[5] = [0.29 + 0.06, 0.06, 0.0]
+    pos[6] = [0.29 + 0.06, -0.06, 0.0]
+    assert analysis.hydrogen_bonds(sys_, pos)[0] == 1
+
+    # stretch past the distance cutoff -> 0
+    far = pos.copy()
+    far[4:] += [0.12, 0.0, 0.0]
+    assert analysis.hydrogen_bonds(sys_, far)[0] == 0
+
+    # rotate the donated H past the angle cutoff -> 0
+    bent = pos.copy()
+    bent[1] = [r_oh * np.cos(np.deg2rad(40)), r_oh * np.sin(np.deg2rad(40)), 0.0]
+    assert analysis.hydrogen_bonds(sys_, bent)[0] == 0
+
+
+def test_tetrahedral_order_ice_and_ideal_gas():
+    # diamond-cubic oxygen lattice (ice-like): every O has 4 perfectly
+    # tetrahedral nearest neighbors -> q = 1 exactly
+    a = 0.6
+    cells = 2
+    frac = np.array([[0, 0, 0], [0, .5, .5], [.5, 0, .5], [.5, .5, 0]])
+    frac = np.concatenate([frac, frac + 0.25])
+    site = []
+    for i in range(cells):
+        for j in range(cells):
+            for k in range(cells):
+                site.append((frac + [i, j, k]) * a)
+    o_pos = np.concatenate(site)
+    L = cells * a
+    sys_ = System.waters(len(o_pos), box=[L, L, L])
+    f = np.zeros((1, sys_.n_atoms, 3))
+    f[0, sys_.o_index] = o_pos
+    q = analysis.tetrahedral_order(sys_, f)
+    np.testing.assert_allclose(q, 1.0, atol=1e-10)
+
+    # ideal gas: <q> = 0 (the Errington-Debenedetti rescaling is chosen
+    # to make uniformly random orientations average to zero)
+    rng = np.random.default_rng(2)
+    frames = np.zeros((30, sys_.n_atoms, 3))
+    frames[:, sys_.o_index] = rng.uniform(0, L, (30, len(o_pos), 3))
+    qg = analysis.tetrahedral_order(sys_, frames)
+    assert abs(qg.mean()) < 0.05, qg.mean()
