@@ -90,6 +90,19 @@ k = np.argmax(g)
 print(f'g_OO(r) first peak: r = {r[k]:.3f} nm, g = {g[k]:.2f} '
       f'(MB-pol liquid: ~0.28 nm)')
 
+# --- structure: S(q), hydrogen bonds, tetrahedrality ---------------------
+q, s_q = analysis.static_structure_factor(sys_, frames[::4], q_max=40.0)
+j = np.argmax(s_q[q > 10.0])
+print(f'S(q) main peak: q = {q[q > 10.0][j]:.1f} 1/nm, S = '
+      f'{s_q[q > 10.0][j]:.2f} (liquid water: ~20 1/nm (2 A^-1), ~2-3)')
+hb = analysis.hydrogen_bonds(sys_, frames[::4])
+# each bond is shared by a donor and an acceptor molecule
+print(f'H-bonds/molecule = {2.0 * hb.mean() / sys_.n_waters:.2f} '
+      f'(liquid water: ~3.5)')
+qt = analysis.tetrahedral_order(sys_, frames[::4])
+print(f'tetrahedral order <q> = {qt.mean():.3f} '
+      f'(liquid ~0.6-0.7, ice 1, ideal gas 0)')
+
 # --- dynamics: MSD -> self-diffusion ------------------------------------
 t, msd = analysis.mean_squared_displacement(sys_, frames, dt_frame,
                                             species='com')

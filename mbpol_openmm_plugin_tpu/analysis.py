@@ -442,9 +442,10 @@ def hydrogen_bonds(system: System, frames, r_oo_max=0.35,
     O..O distance < r_oo_max (nm) AND the H-O_d-O_a angle < angle_max_deg.
     Periodic systems use minimum-image separations.
 
-    frames: [n_frames, natoms, 3] nm. Returns [n_frames] int counts
-    (each donated H counted once; a water can donate up to 2 and accept
-    up to 2, ~3.5 total per molecule in bulk liquid water).
+    frames: [n_frames, natoms, 3] nm. Returns [n_frames] int bond counts
+    (each donated H counted once). Every bond is shared by a donor and
+    an acceptor, so the per-molecule average is 2*count/n_molecules
+    (~3.5 in bulk liquid water).
     """
     frames = np.asarray(frames)
     if frames.ndim == 2:

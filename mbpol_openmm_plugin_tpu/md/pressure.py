@@ -107,3 +107,66 @@ def virial_pressure(potential, positions, velocities=None,
 
     p_kj_nm3 = (twice_k - du_dlam) / (3.0 * vol)
     return p_kj_nm3 / BAR_IN_KJ_MOL_NM3
+
+
+def rpmd_virial_pressure(potential, positions, temperature_k, box=None):
+    """Instantaneous NPT-PIMD pressure, in bar (ring-polymer analog of
+    `virial_pressure`, matching rpmd.rpmd_barostat_move's ensemble).
+
+    The barostat's scaling map translates each molecule's beads rigidly
+    with the molecular ring-polymer centroid, so the configurational
+    weight is exp[-beta(mean_b U(q_b) + P V)] V^N_mol and the estimator is
+
+        P = (3 N_mol kT - d Ubar/dlambda|_{lambda=1}) / (3 V),
+        Ubar(lambda) = mean_b U(q_b + (lambda-1) centroid_mol, lambda box).
+
+    The ring-spring energy is scaling-invariant (identical shift on every
+    bead) and contributes nothing; the ideal part is N_mol kT/V exactly
+    (the map scales one centroid per molecule, not per bead). At
+    n_beads = 1 this reduces to `virial_pressure(..., temperature_k=...)`.
+
+    positions: [n_beads, natoms, 3] nm. Periodic (PME) systems only.
+    """
+    system = potential.system
+    b = box if box is not None else system.box
+    if b is None or not np.all(np.asarray(b) > 0):
+        raise ValueError('rpmd_virial_pressure needs a periodic system')
+    positions = jnp.asarray(positions)
+    b = jnp.asarray(b, positions.dtype)
+
+    fn = getattr(potential, '_rpmd_virial_du_jit', None)
+    if fn is None:
+        mol = jnp.asarray(system.mol_index)
+        nmol = int(system.mol_index.max()) + 1
+        m = jnp.asarray(system.masses)
+
+        def du(q0, box0):
+            # molecular ring-polymer centroid: mass-weighted over atoms,
+            # mean over beads (rpmd_barostat_move convention)
+            mol_mass = jax.ops.segment_sum(m.astype(q0.dtype), mol, nmol)
+            mw = m.astype(q0.dtype)[None, :, None] * q0
+            cent_b = jax.vmap(
+                lambda x: jax.ops.segment_sum(x, mol, nmol))(mw)
+            centroid = jnp.mean(cent_b, axis=0) / mol_mass[:, None]
+
+            def mean_energy(lam):
+                q = q0 + (centroid * (lam - 1.0))[mol][None]
+
+                def one(qb):
+                    e, _, _, _ = potential._energy_forces_impl(
+                        qb, box=box0 * lam)
+                    return e
+
+                return jnp.mean(jax.vmap(one)(q))
+
+            one_ = jnp.asarray(1.0, q0.dtype)
+            return jax.jvp(mean_energy, (one_,), (one_,))[1]
+
+        fn = jax.jit(du)
+        potential._rpmd_virial_du_jit = fn
+
+    du_dlam = fn(positions, b)
+    vol = b[0] * b[1] * b[2]
+    nmol = int(system.mol_index.max()) + 1
+    twice_k = 3.0 * nmol * units.BOLTZMANN_KJ_MOL_K * temperature_k
+    return (twice_k - du_dlam) / (3.0 * vol) / BAR_IN_KJ_MOL_NM3

@@ -117,3 +117,37 @@ def test_cluster_raises():
     pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff'))
     with pytest.raises(ValueError):
         PR.virial_pressure(pot, jnp.zeros((12, 3)), temperature_k=300.0)
+
+
+def test_rpmd_pressure_reduces_to_classical_at_one_bead():
+    sys_, pos, pot = _water14_periodic()
+    p_cl = float(PR.virial_pressure(pot, pos, temperature_k=300.0))
+    p_rp = float(PR.rpmd_virial_pressure(pot, pos[None], 300.0))
+    np.testing.assert_allclose(p_rp, p_cl, rtol=1e-10)
+
+
+def test_rpmd_pressure_dilute_gas_is_ideal():
+    """Far-separated molecules with a bead spread: interactions vanish,
+    the rigid-shift map leaves intra-bead geometry and the one-body term
+    untouched -> P = N_mol kT / V (quantum == classical ideal gas)."""
+    from mbpol_openmm_plugin_tpu.md import rpmd as R
+
+    L = 12.0
+    sys_ = System.waters(3, box=[L, L, L])
+    full = np.array(fixtures.load('water3')['positions'])
+    for k, off in enumerate(([1.0] * 3, [5.0] * 3, [9.0] * 3)):
+        full[4 * k:4 * k + 4] += np.asarray(off)
+    pos = compute_virtual_sites(sys_, jnp.asarray(full))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
+                                  target_epsilon=1e-8, max_iterations=100))
+    pot.tune_capacities(pos)
+    # 4 beads with a small Gaussian spread on the real atoms
+    st = R.initial_state(sys_, pos, 4, 300.0, jax.random.PRNGKey(0),
+                         spread=0.005)
+    q = jax.vmap(lambda x: compute_virtual_sites(sys_, x))(st.positions)
+    t = 300.0
+    p = float(PR.rpmd_virial_pressure(pot, q, t))
+    p_ideal = (3 * units.BOLTZMANN_KJ_MOL_K * t / L ** 3
+               / PR.BAR_IN_KJ_MOL_NM3)
+    # same tolerance as the classical dilute test (PME self/background)
+    assert abs(p - p_ideal) < 0.25 * p_ideal, (p, p_ideal)
