@@ -747,7 +747,7 @@ class PIMDSimulation:
         return state, mu, baro, out
 
     def step(self, n_steps, report_interval=None, check_health=True,
-             frame_callback=None):
+             frame_callback=None, report_pressure=False):
         """Advance n_steps; returns per-report-interval quantum estimators
         (kJ/mol). With check_health, raises RuntimeError on NaN (NaN
         propagates through the PE trace, locating the failing step) or on
@@ -759,12 +759,24 @@ class PIMDSimulation:
         boundary with the bead-centroid positions (virtual M-sites
         recomputed, [natoms, 3] nm) - wire a trajectory writer here
         (app.PIMDCentroidWriter adapts the classical PDB/NetCDF
-        reporters)."""
+        reporters).
+
+        report_pressure (periodic systems): adds a 'pressure' column
+        (bar) - the instantaneous quantum virial pressure
+        md/pressure.rpmd_virial_pressure at each report boundary (one
+        extra jvp evaluation per report, like the classical
+        StateDataReporter(pressure=True))."""
         report_interval = report_interval or n_steps
         rows = dict(step=[], potential_energy=[], kinetic_virial=[],
                     total_energy=[])
         if self._npt:
             rows['volume'] = []
+        if report_pressure:
+            if not self.system.periodic:
+                raise ValueError('report_pressure needs a periodic system')
+            from mbpol_openmm_plugin_tpu.md.pressure import \
+                rpmd_virial_pressure
+            rows['pressure'] = []
         remaining = n_steps
         while remaining > 0:
             k = min(report_interval, remaining)
@@ -809,6 +821,10 @@ class PIMDSimulation:
             if self._npt:
                 b = np.asarray(self.state.box)
                 rows['volume'].append(float(b[0] * b[1] * b[2]))
+            if report_pressure:
+                rows['pressure'].append(float(rpmd_virial_pressure(
+                    self.potential, self.state.positions, self.temperature,
+                    box=self.state.box)))
             if frame_callback is not None:
                 from mbpol_openmm_plugin_tpu.system import \
                     compute_virtual_sites

@@ -220,3 +220,26 @@ def test_builder_remd_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr + r.stdout
     assert 'slot,T_K,U_kcalmol,acceptance_to_next' in r.stdout
     assert (tmp_path / 'water14_remd_remd.npz').exists()
+
+
+def test_builder_renders_pimd_pressure(tmp_path):
+    """[logging] save_pressure in a PME [pimd] INI adds the quantum virial
+    pressure column (report_pressure=True)."""
+    import ast
+    import configparser
+    cfg = configparser.ConfigParser()
+    cfg.read(os.path.join(REPO, 'examples', 'example_ini',
+                          'mbpol_bulk_npt_pimd.ini'))
+    if not cfg.has_section('logging'):
+        cfg.add_section('logging')
+    cfg['logging']['save_pressure'] = 'true'
+    ini = tmp_path / 'p.ini'
+    with open(ini, 'w') as f:
+        cfg.write(f)
+    r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                        str(ini)], capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO))
+    assert r.returncode == 0, r.stderr
+    assert 'report_pressure=True' in r.stdout
+    assert 'P_bar' in r.stdout
+    ast.parse(r.stdout)

@@ -722,3 +722,31 @@ def test_pimd_npt_rejects_nonperiodic():
     pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff'))
     with pytest.raises(ValueError):
         rpmd.PIMDSimulation(pot, n_beads=2, barostat_pressure=1.0)
+
+
+@pytest.mark.slow
+def test_pimd_report_pressure():
+    """report_pressure=True adds a finite 'pressure' column (bar) from
+    md/pressure.rpmd_virial_pressure at report boundaries; clusters are
+    rejected."""
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    fix = fixtures.load('water50')
+    sys_ = System.waters(50, box=[1.8, 1.8, 1.8])
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.45,
+                                  target_epsilon=1e-5))
+    pot.tune_capacities(pos)
+    sim = rpmd.PIMDSimulation(pot, n_beads=2, dt=2e-5, temperature=300.0,
+                              tau0=0.05, seed=6, barostat_pressure=1.0,
+                              barostat_interval=2)
+    sim.set_positions(pos, spread=0.0005)
+    m = sim.step(2, report_interval=2, report_pressure=True)
+    assert 'pressure' in m and np.isfinite(m['pressure']).all()
+
+    sysc, posc = None, None
+    potc = MBPol(System.waters(2), MBPolConfig(nonbonded_method='NoCutoff'))
+    simc = rpmd.PIMDSimulation(potc, n_beads=2, dt=2e-5, temperature=300.0)
+    with pytest.raises(ValueError):
+        simc.step(1, report_pressure=True)

