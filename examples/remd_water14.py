@@ -45,16 +45,19 @@ if not os.path.exists(os.path.join(here, 'water14_cluster.pdb')):
 pdb = app.PDBFile(os.path.join(here, 'water14_cluster.pdb'))
 ff = app.ForceField(app.mbpol_xml_path())
 spec = ff.createSystem(pdb.topology, nonbondedMethod=app.NoCutoff)
+# --mesh shards the REPLICA axis over the devices (the potential itself
+# stays unmeshed - one sharding level; see REMDSimulation docstring)
 mesh = M.make_mesh(min(R, len(jax.devices()))) if use_mesh else None
 pot = MBPol(spec.system, MBPolConfig(nonbonded_method='NoCutoff',
-                                     cutoff=1e3), mesh=mesh)
+                                     cutoff=1e3))
 from mbpol_openmm_plugin_tpu.app import unit
 pos = compute_virtual_sites(
     spec.system, jnp.asarray(pdb.positions.value_in_unit(unit.nanometer)))
 
 temps = remd.geometric_ladder(250.0, 450.0, R)
 cfg = remd.REMDConfig(dt=0.0002, exchange_interval=25, friction=2.0)
-sim = remd.REMDSimulation(pot, temperatures=temps, config=cfg, seed=0)
+sim = remd.REMDSimulation(pot, temperatures=temps, config=cfg, seed=0,
+                          mesh=mesh)
 sim.set_positions(pos)
 sim.set_velocities_to_temperature()
 
@@ -83,3 +86,17 @@ for r in range(R):
 w0 = out['walker'][:, 0]
 print('cold-slot occupant changed %d times over %d blocks; walkers seen: %s'
       % ((np.diff(w0) != 0).sum(), n_blocks, sorted(set(w0.tolist()))))
+
+# MBAR post-processing (analysis.mbar_*): pool all slots' samples and
+# reweight to ANY temperature in the ladder range - here <U>(T) on a
+# fine grid, of which the simulated temperatures are just R points
+from mbpol_openmm_plugin_tpu import analysis
+
+burn = max(1, n_blocks // 4)
+u_kn = out['potential_energy'][burn:].T          # [R, n_samples] kJ/mol
+f = analysis.mbar_free_energies(u_kn, temps)
+print('MBAR dimensionless free energies:', np.round(f, 2))
+for t in np.linspace(temps[0], temps[-1], 2 * R - 1):
+    w = analysis.mbar_reweight(u_kn, temps, float(t), f=f, observable=u_kn)
+    print('  <U>(%5.1f K) = %9.3f kcal/mol   (n_eff %5.0f)'
+          % (t, w['mean'] / 4.184, w['n_eff']))

@@ -213,6 +213,13 @@ class REMDSimulation:
     def __init__(self, potential, temperatures,
                  config: REMDConfig = REMDConfig(), seed: int = 0,
                  mesh=None):
+        """mesh: optional Mesh to shard the REPLICA axis over 'dp'
+        (n_replicas should be a multiple of the device count). Pick ONE
+        sharding level: either a meshed potential (shards within each
+        replica's evaluation - few large replicas) or `mesh` here (shards
+        across replicas - many small replicas); combining both makes XLA
+        reconcile conflicting 'dp' layouts with full rematerializations.
+        The potential's own mesh is deliberately NOT inherited."""
         self.potential = potential
         self.system = potential.system
         self.temperatures = np.asarray(temperatures, float)
@@ -221,7 +228,6 @@ class REMDSimulation:
         if np.any(np.diff(self.temperatures) <= 0):
             raise ValueError('temperatures must be strictly increasing')
         self.config = config
-        mesh = potential.mesh if mesh is None else mesh
 
         key = jax.random.PRNGKey(seed)
         self._exch_key, self._init_key, vel_key = jax.random.split(key, 3)

@@ -183,12 +183,12 @@ def test_harmonic_remd_sharded_matches_unsharded():
 # ----------------------------------------------------------------------
 # MBPol driver integration
 # ----------------------------------------------------------------------
-def _mbpol_remd(seed=1, **cfg_kw):
+def _mbpol_remd(seed=1, mesh=None, **cfg_kw):
     sys_, pos = fixtures.load_system('water3')
     pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff', cutoff=0.9))
     cfg = remd.REMDConfig(dt=0.0002, exchange_interval=5, **cfg_kw)
     sim = remd.REMDSimulation(pot, temperatures=[300.0, 400.0], config=cfg,
-                              seed=seed)
+                              seed=seed, mesh=mesh)
     sim.set_positions(pos)
     sim.set_velocities_to_temperature()
     return sim
@@ -225,6 +225,21 @@ def test_mbpol_remd_checkpoint_resume():
                                   np.asarray(sim.state.positions))
     np.testing.assert_array_equal(np.asarray(sim2.walker),
                                   np.asarray(sim.walker))
+
+
+def test_mbpol_remd_driver_mesh_matches_unsharded():
+    """REMDSimulation with an explicit replica mesh (2 replicas over 2
+    devices) reproduces the unsharded driver. The noise keys are
+    replicated, so the trajectories agree to the reduction-order
+    (layout) floor of the MBPol evaluation (~1e-10 on water3); exchange
+    decisions and walker flow must match exactly."""
+    out0 = _mbpol_remd().run(2)
+    out1 = _mbpol_remd(mesh=M.make_mesh(2)).run(2)
+    np.testing.assert_allclose(out0['potential_energy'],
+                               out1['potential_energy'],
+                               rtol=1e-8, atol=1e-7)
+    np.testing.assert_array_equal(out0['accept'], out1['accept'])
+    np.testing.assert_array_equal(out0['walker'], out1['walker'])
 
 
 def test_remd_validates_ladder():
