@@ -313,6 +313,46 @@ def _pimd_figure(n_beads=8, contraction=1):
                     np.asarray(m['total_energy'])).any()))
 
 
+def _remd_figure(n_replicas=2):
+    """Beyond-parity extra: parallel-tempering throughput on the headline
+    box (md/remd.py - the whole ladder is one vmapped lax.scan, exchanges
+    are [R] permutation gathers). replica_steps_per_second close to
+    n_replicas x the headline steps/s means the ladder rides the chip's
+    batching headroom. Disable with BENCH_REMD=0."""
+    import jax.numpy as jnp
+
+    from mbpol_openmm_plugin_tpu.md import remd
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+    from mbpol_openmm_plugin_tpu.system import System, compute_virtual_sites
+
+    fix = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'tests', 'fixtures',
+                               'water256_integration_test.npz'))
+    box = [19.3996888399961804 / 10.0] * 3
+    sys_ = System.waters(256, box=box)
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions'],
+                                                  jnp.float32))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
+                                  target_epsilon=1e-3, max_iterations=200,
+                                  nlist_skin=0.02))
+    pot.tune_capacities(pos)
+    sim = remd.REMDSimulation(
+        pot, temperatures=remd.geometric_ladder(290.0, 330.0, n_replicas),
+        config=remd.REMDConfig(dt=2e-4, exchange_interval=25), seed=0)
+    sim.set_positions(pos)
+    sim.set_velocities_to_temperature()
+    n_blocks = int(os.environ.get('BENCH_REMD_BLOCKS', 4))
+    sim.run(n_blocks)                      # compile + thermalize
+    t0 = time.time()
+    out = sim.run(n_blocks)
+    elapsed = time.time() - t0
+    steps = n_blocks * 25
+    return dict(replica_steps_per_second=round(steps * n_replicas / elapsed, 3),
+                n_replicas=n_replicas, n_steps=steps,
+                acceptance=[round(float(a), 3) for a in out['acceptance']],
+                nan_detected=bool(np.isnan(out['potential_energy']).any()))
+
+
 def main():
     import jax
     carry0, bench, e0 = build(32, scf_mode='sor')
@@ -344,6 +384,13 @@ def main():
         except Exception as exc:      # the extra must never kill the headline
             pimd = dict(error=repr(exc)[:200])
 
+    remd = None
+    if os.environ.get('BENCH_REMD', '1') != '0':
+        try:
+            remd = _remd_figure()
+        except Exception as exc:      # the extra must never kill the headline
+            remd = dict(error=repr(exc)[:200])
+
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  'BASELINE_LOCAL.json')
     vs_baseline = None
@@ -369,6 +416,7 @@ def main():
                    aspc_steady_state_steps_per_second=aspc['steps_per_second'],
                    aspc_k=ASPC_K,
                    pimd=pimd,
+                   remd=remd,
                    neighbor_overflow=bool(sor['neighbor_overflow']
                                           or aspc['neighbor_overflow']),
                    nan_detected=bool(np.isnan(pes).any()
