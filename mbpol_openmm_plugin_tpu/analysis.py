@@ -508,3 +508,29 @@ def tetrahedral_order(system: System, frames):
                                  axis=1)
         out[fi] = q.mean()
     return out
+
+
+def mbar_heat_capacity(energies, temperatures, target_temperatures=None,
+                       f=None):
+    """Configurational heat-capacity curve from ladder samples:
+    Cv(T) = Var_T(U) / (kB T^2), with the variance MBAR-reweighted to
+    each target temperature (fluctuation formula; add the kinetic
+    3 N kB / 2 for the full classical Cv).
+
+    energies/temperatures as in `mbar_free_energies`;
+    target_temperatures: [M] kelvin (default: the ladder itself).
+    Returns (target_temperatures [M], cv [M] kJ/mol/K).
+    """
+    U = np.asarray(energies, np.float64)
+    T = np.asarray(temperatures, np.float64)
+    ts = (T if target_temperatures is None
+          else np.asarray(target_temperatures, np.float64))
+    if f is None:
+        f = mbar_free_energies(U, T)
+    cv = np.empty(len(ts))
+    for i, t in enumerate(ts):
+        out = mbar_reweight(U, T, float(t), f=f,
+                            observable=np.stack([U, U * U], axis=-1))
+        u1, u2 = out['mean']
+        cv[i] = (u2 - u1 * u1) / (_KB_KJ_MOL_K * t * t)
+    return ts, cv

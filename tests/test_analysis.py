@@ -331,3 +331,19 @@ def test_tetrahedral_order_ice_and_ideal_gas():
     frames[:, sys_.o_index] = rng.uniform(0, L, (30, len(o_pos), 3))
     qg = analysis.tetrahedral_order(sys_, frames)
     assert abs(qg.mean()) < 0.05, qg.mean()
+
+
+def test_mbar_heat_capacity_harmonic():
+    """Configurational Cv of a d-dof harmonic well is exactly (d/2) kB at
+    every temperature (Var(U) = (d/2) (kB T)^2)."""
+    rng = np.random.default_rng(3)
+    kB = 8.31446261815324e-3
+    d, K, N = 6, 4, 6000
+    T = np.geomspace(250.0, 450.0, K)
+    kappa = 2000.0
+    U = np.stack([
+        0.5 * kappa * (rng.normal(0.0, np.sqrt(kB * t / kappa),
+                                  (N, d)) ** 2).sum(-1) for t in T])
+    ts, cv = analysis.mbar_heat_capacity(U, T,
+                                         target_temperatures=[280.0, 400.0])
+    np.testing.assert_allclose(cv, 0.5 * d * kB, rtol=0.08)
