@@ -137,17 +137,12 @@ def rpmd_virial_pressure(potential, positions, temperature_k, box=None):
     fn = getattr(potential, '_rpmd_virial_du_jit', None)
     if fn is None:
         mol = jnp.asarray(system.mol_index)
-        nmol = int(system.mol_index.max()) + 1
-        m = jnp.asarray(system.masses)
 
         def du(q0, box0):
-            # molecular ring-polymer centroid: mass-weighted over atoms,
-            # mean over beads (rpmd_barostat_move convention)
-            mol_mass = jax.ops.segment_sum(m.astype(q0.dtype), mol, nmol)
-            mw = m.astype(q0.dtype)[None, :, None] * q0
-            cent_b = jax.vmap(
-                lambda x: jax.ops.segment_sum(x, mol, nmol))(mw)
-            centroid = jnp.mean(cent_b, axis=0) / mol_mass[:, None]
+            # molecular ring-polymer centroid (rpmd_barostat_move
+            # convention): the mass-weighted molecular COM of the
+            # bead-mean - mass weighting commutes with the bead mean
+            centroid, _ = _molecular_coms(system, jnp.mean(q0, axis=0))
 
             def mean_energy(lam):
                 q = q0 + (centroid * (lam - 1.0))[mol][None]

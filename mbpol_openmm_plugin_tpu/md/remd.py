@@ -211,7 +211,7 @@ class REMDSimulation:
     """
 
     def __init__(self, potential, temperatures,
-                 config: REMDConfig = REMDConfig(), seed: int = 0,
+                 config: Optional[REMDConfig] = None, seed: int = 0,
                  mesh=None):
         """mesh: optional Mesh to shard the REPLICA axis over 'dp'
         (n_replicas should be a multiple of the device count). Pick ONE
@@ -227,7 +227,7 @@ class REMDSimulation:
             raise ValueError('REMD needs at least 2 replicas')
         if np.any(np.diff(self.temperatures) <= 0):
             raise ValueError('temperatures must be strictly increasing')
-        self.config = config
+        self.config = config = config if config is not None else REMDConfig()
 
         key = jax.random.PRNGKey(seed)
         self._exch_key, self._init_key, vel_key = jax.random.split(key, 3)
@@ -240,8 +240,14 @@ class REMDSimulation:
         self._accept_sum = np.zeros(R, np.int64)
         self._exchange_attempts = np.zeros(R, np.int64)
 
+        # warm start excluded under scf_method='aspc' exactly like
+        # PIMDSimulation: feeding last-step dipoles into the single ASPC
+        # corrector treats them as a B_j-extrapolated predictor (they are
+        # not) - the measured-unstable configuration; the predictor
+        # history machinery lives in the classical driver only.
         self._warm = (config.scf_warm_start
-                      and potential.elec_params is not None)
+                      and potential.elec_params is not None
+                      and potential.config.scf_method != 'aspc')
 
         def ef_fn(p, mu):
             e, f, _parts, diag = potential._energy_forces_impl(
@@ -265,6 +271,9 @@ class REMDSimulation:
 
     # ------------------------------------------------------------------
     def set_positions(self, positions, box=None):
+        """(Re)start from a configuration: also resets walker ids, the
+        exchange parity, and the cumulative acceptance statistics (they
+        describe a trajectory, not the driver)."""
         self.state = initial_state(self.system, positions,
                                    self.temperatures, self._init_key,
                                    box=box)
@@ -273,6 +282,11 @@ class REMDSimulation:
         self.state = dataclasses.replace(self.state, forces=f,
                                          potential_energy=e)
         self._mu = mu if self._warm else None
+        R = len(self.temperatures)
+        self.walker = jnp.arange(R, dtype=jnp.int32)
+        self._parity = 0
+        self._accept_sum = np.zeros(R, np.int64)
+        self._exchange_attempts = np.zeros(R, np.int64)
 
     def set_velocities_to_temperature(self, temperatures=None):
         """Per-replica Maxwell-Boltzmann at the ladder temperatures (or a
@@ -360,6 +374,15 @@ class REMDSimulation:
     def load_checkpoint(self, ck):
         if not np.allclose(ck['temperatures'], self.temperatures):
             raise ValueError('checkpoint temperature ladder differs')
+        if ('mu' in ck) != self._warm:
+            # the warm-start dipole carry is part of the scan structure;
+            # a mismatch would surface as an opaque scan-carry pytree
+            # error inside jit
+            raise ValueError(
+                'checkpoint warm-start state (mu %s) does not match this '
+                "driver's scf_warm_start=%s - construct the driver with "
+                'the same setting' % ('present' if 'mu' in ck else 'absent',
+                                      self._warm))
         self.state = I.MDState(
             positions=jnp.asarray(ck['positions']),
             velocities=jnp.asarray(ck['velocities']),

@@ -774,6 +774,17 @@ class PIMDSimulation:
         if report_pressure:
             if not self.system.periodic:
                 raise ValueError('report_pressure needs a periodic system')
+            if self.contraction:
+                # the sampled (and barostatted) ensemble uses the
+                # CONTRACTED effective potential; the estimator below
+                # differentiates the full potential - a different
+                # ensemble, so the reported pressure would be
+                # systematically offset even at perfect equilibrium
+                raise ValueError(
+                    'report_pressure with ring-polymer contraction is '
+                    'unsupported: the virial estimator must match the '
+                    'contracted effective potential - run uncontracted '
+                    'or compute the pressure offline')
             from mbpol_openmm_plugin_tpu.md.pressure import \
                 rpmd_virial_pressure
             rows['pressure'] = []

@@ -60,11 +60,13 @@ class SimulationConfig:
 class Simulation:
     """Minimal MD driver over an MBPol potential."""
 
-    def __init__(self, potential: MBPol, config: SimulationConfig = SimulationConfig(),
-                 seed: int = 0):
+    def __init__(self, potential: MBPol,
+                 config: Optional[SimulationConfig] = None, seed: int = 0):
         self.potential = potential
         self.system = potential.system
-        self.config = config
+        # fresh default per instance (a shared mutable dataclass default
+        # would leak caller mutations into every later Simulation)
+        self.config = config if config is not None else SimulationConfig()
         self._key = jax.random.PRNGKey(seed)
         self.state: Optional[I.MDState] = None
         # adaptive barostat move size (scale, attempted, accepted) -

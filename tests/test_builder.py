@@ -233,6 +233,7 @@ def test_builder_renders_pimd_pressure(tmp_path):
     if not cfg.has_section('logging'):
         cfg.add_section('logging')
     cfg['logging']['save_pressure'] = 'true'
+    cfg['pimd']['contraction'] = '0'      # estimator needs uncontracted
     ini = tmp_path / 'p.ini'
     with open(ini, 'w') as f:
         cfg.write(f)
@@ -243,3 +244,14 @@ def test_builder_renders_pimd_pressure(tmp_path):
     assert 'report_pressure=True' in r.stdout
     assert 'P_bar' in r.stdout
     ast.parse(r.stdout)
+
+    # with contraction the pressure column is omitted (the virial
+    # estimator must match the contracted effective potential)
+    cfg['pimd']['contraction'] = '1'
+    with open(ini, 'w') as f:
+        cfg.write(f)
+    r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                        str(ini)], capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO))
+    assert r.returncode == 0, r.stderr
+    assert 'report_pressure' not in r.stdout
