@@ -28,4 +28,5 @@ from mbpol_openmm_plugin_tpu.app.simulation import (AndersenThermostat,  # noqa:
                                                     LocalEnergyMinimizer,
                                                     MonteCarloBarostat,
                                                     PIMDCentroidWriter, Simulation,
+                                                    TrajectoryFrameWriter,
                                                     StateDataReporter, VerletIntegrator)

@@ -244,6 +244,12 @@ class PIMDCentroidWriter:
         self.reporter.report(sim, state)
 
 
+# The adapter is frame-source agnostic (it only needs (step, positions,
+# box)); the generic name serves REMD cold-slot trajectories and any
+# other per-frame callback source.
+TrajectoryFrameWriter = PIMDCentroidWriter
+
+
 class LocalEnergyMinimizer:
     """OpenMM LocalEnergyMinimizer surface: on-device L-BFGS
     (md/minimize.py). tolerance is the RMS-force target in kJ/mol/nm."""

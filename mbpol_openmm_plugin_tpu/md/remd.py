@@ -267,7 +267,7 @@ class REMDSimulation:
             friction=config.friction,
             exchange_interval=config.exchange_interval, mesh=mesh)
         self._run_jit = jax.jit(self._run_impl,
-                                static_argnames=('n_blocks',))
+                                static_argnames=('n_blocks', 'want_frames'))
 
     # ------------------------------------------------------------------
     def set_positions(self, positions, box=None):
@@ -302,28 +302,52 @@ class REMDSimulation:
         self.state = dataclasses.replace(self.state, velocities=v)
 
     # ------------------------------------------------------------------
-    def _run_impl(self, state, mu, walker, key, parity0, n_blocks):
+    def _run_impl(self, state, mu, walker, key, parity0, n_blocks,
+                  want_frames=False):
         def body(carry, i):
             state, mu, walker, key = carry
             state, mu, walker, key, stats = self._block(
                 state, mu, walker, key, (parity0 + i) % 2)
-            return ((state, mu, walker, key),
-                    (stats['pe'][-1], stats['accept'], walker))
+            ys = (stats['pe'][-1], stats['accept'], walker)
+            if want_frames:
+                # cold-slot configuration at the block end (the physical
+                # trajectory users analyze)
+                ys = ys + (state.positions[0], state.step[0])
+            return (state, mu, walker, key), ys
 
-        (state, mu, walker, key), (pe, accept, walkers) = jax.lax.scan(
+        (state, mu, walker, key), ys = jax.lax.scan(
             body, (state, mu, walker, key), jnp.arange(n_blocks))
-        return state, mu, walker, key, pe, accept, walkers
+        return (state, mu, walker, key) + ys
 
-    def run(self, n_blocks, check_health=True):
+    def run(self, n_blocks, check_health=True, frame_callback=None):
         """Advance `n_blocks` exchange blocks (n_blocks * exchange_interval
         MD steps). Returns per-block arrays: potential_energy [n_blocks, R]
         (kJ/mol, at block ends, per ladder slot), accept [n_blocks, R],
         walker [n_blocks, R], plus the cumulative per-neighbor-pair
-        `acceptance` [R-1]."""
+        `acceptance` [R-1].
+
+        frame_callback(step, positions_nm, box): called per block with the
+        COLD-slot (lowest-temperature) configuration at the block end -
+        wire a trajectory writer here (app.TrajectoryFrameWriter adapts
+        the classical PDB/NetCDF reporters and honors their own
+        reportInterval against the global MD step count)."""
         assert self.state is not None, 'call set_positions first'
-        (self.state, self._mu, self.walker, self._exch_key, pe, accept,
-         walkers) = self._run_jit(self.state, self._mu, self.walker,
-                                  self._exch_key, self._parity, n_blocks)
+        want_frames = frame_callback is not None
+        out = self._run_jit(self.state, self._mu, self.walker,
+                            self._exch_key, self._parity, n_blocks,
+                            want_frames)
+        (self.state, self._mu, self.walker, self._exch_key,
+         pe, accept, walkers) = out[:7]
+        if want_frames:
+            from mbpol_openmm_plugin_tpu.system import compute_virtual_sites
+            frames, frame_steps = out[7], out[8]
+            box0 = np.asarray(self.state.box[0])
+            for i in range(n_blocks):
+                # M-site rows are frozen in the integrator (zero mass);
+                # recompute them for reporting, like Context.getState
+                pos = np.asarray(compute_virtual_sites(self.system,
+                                                       frames[i]))
+                frame_callback(int(frame_steps[i]), pos, box0)
 
         pe_host = np.asarray(pe)
         accept_host = np.asarray(accept)

@@ -255,3 +255,27 @@ def test_builder_renders_pimd_pressure(tmp_path):
                        env=dict(os.environ, PYTHONPATH=REPO))
     assert r.returncode == 0, r.stderr
     assert 'report_pressure' not in r.stdout
+
+
+def test_builder_remd_cold_trajectory_render(tmp_path):
+    """[remd] + save_positions_every renders the cold-slot trajectory
+    writer (TrajectoryFrameWriter adapter)."""
+    import ast
+    import configparser
+    cfg = configparser.ConfigParser()
+    cfg.read(os.path.join(REPO, 'examples', 'example_ini',
+                          'mbpol_cluster_remd.ini'))
+    if not cfg.has_section('logging'):
+        cfg.add_section('logging')
+    cfg['logging']['save_positions_every'] = '50'
+    ini = tmp_path / 't.ini'
+    with open(ini, 'w') as f:
+        cfg.write(f)
+    r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                        str(ini)], capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO))
+    assert r.returncode == 0, r.stderr
+    assert 'TrajectoryFrameWriter' in r.stdout
+    assert '_cold_trajectory.pdb' in r.stdout
+    assert 'frame_callback=cold_writer' in r.stdout
+    ast.parse(r.stdout)

@@ -255,3 +255,26 @@ def test_geometric_ladder():
     t = remd.geometric_ladder(280.0, 420.0, 5)
     assert t[0] == pytest.approx(280.0) and t[-1] == pytest.approx(420.0)
     np.testing.assert_allclose(np.diff(np.log(t)), np.diff(np.log(t))[0])
+
+
+def test_remd_frame_callback_cold_slot():
+    """frame_callback receives the cold-slot configuration per block with
+    recomputed M-sites and the global MD step count."""
+    from mbpol_openmm_plugin_tpu.system import compute_virtual_sites
+
+    sim = _mbpol_remd()
+    frames = []
+    out = sim.run(3, frame_callback=lambda s, p, b: frames.append((s, p, b)))
+    assert len(frames) == 3
+    steps = [f[0] for f in frames]
+    assert steps == [5, 10, 15]          # exchange_interval = 5
+    p0, p1 = frames[0][1], frames[1][1]
+    assert p0.shape == (12, 3) and not np.allclose(p0, p1)
+    # M-site rows satisfy the virtual-site construction exactly
+    np.testing.assert_allclose(
+        p0, np.asarray(compute_virtual_sites(sim.system, p0)), atol=1e-12)
+    # frames do not perturb the trajectory: same run without callback
+    sim2 = _mbpol_remd()
+    out2 = sim2.run(3)
+    np.testing.assert_array_equal(out['potential_energy'],
+                                  out2['potential_energy'])
