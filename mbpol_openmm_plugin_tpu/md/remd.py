@@ -117,7 +117,8 @@ def initial_state(system: System, positions, temperatures, key,
 
 
 def make_remd_block(system: System, ef_fn, temperatures, dt,
-                    friction=1.0, exchange_interval=25, mesh=None):
+                    friction=1.0, exchange_interval=25, mesh=None,
+                    list_builder=None):
     """Returns the jittable REMD block
         block(state, mu, walker, key, parity)
           -> (state, mu, walker, key, stats)
@@ -135,6 +136,14 @@ def make_remd_block(system: System, ef_fn, temperatures, dt,
     permutation is a gather across the sharded axis (one small
     collective); the trajectory is bitwise mesh-independent because the
     per-slot noise keys are replicated.
+
+    list_builder: optional fn(positions [natoms, 3]) ->
+    (nlists, any_overflow) building padded neighbor lists for one
+    replica. When given, lists are built ONCE per block (vmapped over
+    replicas) and reused for all `exchange_interval` steps, and ef_fn is
+    called as ef_fn(p, mu, nlists) - exact when the potential's
+    nlist_skin covers the drift over one block; the per-block overflow
+    flag is returned in stats['list_overflow'].
     """
     Tj = jnp.asarray(np.asarray(temperatures, float))
 
@@ -148,11 +157,14 @@ def make_remd_block(system: System, ef_fn, temperatures, dt,
         def shard(x):
             return x
 
-    def one_rep(s, temp, mu):
+    def one_rep(s, temp, mu, nl):
         aux = [mu, jnp.ones((), bool)]
 
         def ef2(p):
-            e, f, mu_new, ok = ef_fn(p, mu)
+            if list_builder is not None:
+                e, f, mu_new, ok = ef_fn(p, mu, nl)
+            else:
+                e, f, mu_new, ok = ef_fn(p, mu)
             aux[0], aux[1] = mu_new, ok
             return e, f
 
@@ -162,12 +174,16 @@ def make_remd_block(system: System, ef_fn, temperatures, dt,
     batched = jax.vmap(one_rep)
 
     def block(state, mu, walker, key, parity):
+        nl, nl_overflow = (jax.vmap(list_builder)(state.positions)
+                           if list_builder is not None
+                           else (None, jnp.zeros((), bool)))
+
         def body(carry, _):
             s, m = carry
             s = dataclasses.replace(
                 s, positions=shard(s.positions),
                 velocities=shard(s.velocities), forces=shard(s.forces))
-            s, m, _ok = batched(s, Tj.astype(s.positions.dtype), m)
+            s, m, _ok = batched(s, Tj.astype(s.positions.dtype), m, nl)
             # HOT PATH: like md/simulation.py, only the per-step PE leaves
             # the scan (per-step health flags measurably break XLA overlap
             # on TPU); health is checked at block boundaries by the driver.
@@ -183,7 +199,8 @@ def make_remd_block(system: System, ef_fn, temperatures, dt,
         state = apply_exchange(state, perm, Tj)
         mu = jax.tree_util.tree_map(lambda x: x[perm], mu)
         walker = walker[perm]
-        stats = dict(pe=pes, accept=accept)
+        stats = dict(pe=pes, accept=accept,
+                     list_overflow=jnp.any(nl_overflow))
         return state, mu, walker, key, stats
 
     return block
@@ -195,6 +212,10 @@ class REMDConfig:
     friction: float = 1.0          # 1/ps (BAOAB Langevin)
     exchange_interval: int = 25    # MD steps between exchange sweeps
     scf_warm_start: bool = True    # per-replica induced-dipole carry
+    # build the padded neighbor lists once per exchange block instead of
+    # every step (bulk systems; exact when the potential's nlist_skin
+    # covers one block's drift - overflow is checked per block)
+    nlist_reuse: bool = False
 
 
 class REMDSimulation:
@@ -249,9 +270,9 @@ class REMDSimulation:
                       and potential.elec_params is not None
                       and potential.config.scf_method != 'aspc')
 
-        def ef_fn(p, mu):
+        def ef_fn(p, mu, nl=None):
             e, f, _parts, diag = potential._energy_forces_impl(
-                p, mu if self._warm else None)
+                p, mu if self._warm else None, nlists=nl)
             ok = health_flag(diag)
             if not self._warm:
                 # keep the carry structure constant (None stays None)
@@ -262,10 +283,29 @@ class REMDSimulation:
             return e, f, mu_new, ok
 
         self._ef_fn = ef_fn
+
+        list_builder = None
+        if config.nlist_reuse:
+            if not potential.use_neighbor_lists:
+                raise ValueError('nlist_reuse needs a neighbor-list '
+                                 'potential (bulk systems)')
+            if potential.config.nlist_skin <= 0:
+                raise ValueError('nlist_reuse requires nlist_skin > 0 to '
+                                 'stay exact across an exchange block')
+
+            def list_builder(p):
+                pl, tl, diag = potential._neighbor_lists(p)
+                over = jnp.zeros((), bool)
+                for k, v in diag.items():
+                    if k.endswith('_overflow'):
+                        over = over | v
+                return (pl, tl), over
+
         self._block = make_remd_block(
             self.system, ef_fn, self.temperatures, config.dt,
             friction=config.friction,
-            exchange_interval=config.exchange_interval, mesh=mesh)
+            exchange_interval=config.exchange_interval, mesh=mesh,
+            list_builder=list_builder)
         self._run_jit = jax.jit(self._run_impl,
                                 static_argnames=('n_blocks', 'want_frames'))
 
@@ -308,7 +348,8 @@ class REMDSimulation:
             state, mu, walker, key = carry
             state, mu, walker, key, stats = self._block(
                 state, mu, walker, key, (parity0 + i) % 2)
-            ys = (stats['pe'][-1], stats['accept'], walker)
+            ys = (stats['pe'][-1], stats['accept'], walker,
+                  stats['list_overflow'])
             if want_frames:
                 # cold-slot configuration at the block end (the physical
                 # trajectory users analyze)
@@ -337,10 +378,10 @@ class REMDSimulation:
                             self._exch_key, self._parity, n_blocks,
                             want_frames)
         (self.state, self._mu, self.walker, self._exch_key,
-         pe, accept, walkers) = out[:7]
+         pe, accept, walkers, list_overflow) = out[:8]
         if want_frames:
             from mbpol_openmm_plugin_tpu.system import compute_virtual_sites
-            frames, frame_steps = out[7], out[8]
+            frames, frame_steps = out[8], out[9]
             box0 = np.asarray(self.state.box[0])
             for i in range(n_blocks):
                 # M-site rows are frozen in the integrator (zero mass);
@@ -364,6 +405,13 @@ class REMDSimulation:
 
         if check_health:
             nan_bad = np.isnan(pe_host).any()
+            ov = np.asarray(list_overflow)
+            if ov.any():
+                raise RuntimeError(
+                    'REMD neighbor-list overflow during an nlist_reuse '
+                    'block (first at block %d): raise the capacities with '
+                    'tune_capacities or disable nlist_reuse'
+                    % int(np.argmax(ov)))
             _e, _f, _mu, ok = jax.vmap(self._ef_fn, in_axes=(0, None))(
                 self.state.positions, None)
             if nan_bad or not bool(jnp.all(ok)):

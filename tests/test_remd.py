@@ -278,3 +278,45 @@ def test_remd_frame_callback_cold_slot():
     out2 = sim2.run(3)
     np.testing.assert_array_equal(out['potential_energy'],
                                   out2['potential_energy'])
+
+
+@pytest.mark.slow
+def test_remd_nlist_reuse_matches_per_step_rebuild():
+    """nlist_reuse=True (lists built once per exchange block) reproduces
+    the per-step-rebuild trajectory - the skin makes the block-start
+    lists a superset of the physical lists for the whole block, and
+    padded-superset evaluation is exact."""
+    import jax.numpy as jnp
+
+    from mbpol_openmm_plugin_tpu.system import compute_virtual_sites
+
+    fix = fixtures.load('water50')
+    sys_ = System.waters(50, box=[1.8, 1.8, 1.8])
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+
+    def make(reuse):
+        pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.45,
+                                      target_epsilon=1e-6,
+                                      nlist_skin=0.02))
+        pot.tune_capacities(pos)
+        cfg = remd.REMDConfig(dt=2e-4, exchange_interval=5,
+                              nlist_reuse=reuse)
+        sim = remd.REMDSimulation(pot, temperatures=[300.0, 360.0],
+                                  config=cfg, seed=2)
+        sim.set_positions(pos)
+        sim.set_velocities_to_temperature()
+        return sim
+
+    out0 = make(False).run(2)
+    out1 = make(True).run(2)
+    np.testing.assert_allclose(out0['potential_energy'],
+                               out1['potential_energy'],
+                               rtol=1e-9, atol=1e-8)
+    np.testing.assert_array_equal(out0['walker'], out1['walker'])
+
+    # misconfiguration raises clearly
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.45,
+                                  nlist_skin=0.0))
+    with pytest.raises(ValueError):
+        remd.REMDSimulation(pot, temperatures=[300.0, 360.0],
+                            config=remd.REMDConfig(nlist_reuse=True))
