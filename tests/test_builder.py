@@ -279,3 +279,18 @@ def test_builder_remd_cold_trajectory_render(tmp_path):
     assert '_cold_trajectory.pdb' in r.stdout
     assert 'frame_callback=cold_writer' in r.stdout
     ast.parse(r.stdout)
+
+
+def test_builder_renders_bulk_remd(tmp_path):
+    """The bulk [remd] INI renders nlist_reuse + the cold-slot
+    trajectory writer and parses."""
+    import ast
+    ini = os.path.join(REPO, 'examples', 'example_ini',
+                       'mbpol_bulk_remd.ini')
+    r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                        ini], capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO))
+    assert r.returncode == 0, r.stderr
+    assert 'nlist_reuse=True' in r.stdout
+    assert 'TrajectoryFrameWriter' in r.stdout
+    ast.parse(r.stdout)
