@@ -139,7 +139,10 @@ def make_remd_block(system: System, ef_fn, temperatures, dt,
 
     list_builder: optional fn(positions [natoms, 3]) ->
     (nlists, any_overflow) building padded neighbor lists for one
-    replica. When given, lists are built ONCE per block (vmapped over
+    replica. When given, the lists it returns (for MBPol: the 2b pair +
+    3b triplet lists - the expensive voxel-hash builds; the cheap O(N)
+    dispersion/electrostatics molecule-pair lists are still rebuilt per
+    step inside the potential) are built ONCE per block (vmapped over
     replicas) and reused for all `exchange_interval` steps, and ef_fn is
     called as ef_fn(p, mu, nlists) - exact when the potential's
     nlist_skin covers the drift over one block; the per-block overflow
@@ -212,9 +215,11 @@ class REMDConfig:
     friction: float = 1.0          # 1/ps (BAOAB Langevin)
     exchange_interval: int = 25    # MD steps between exchange sweeps
     scf_warm_start: bool = True    # per-replica induced-dipole carry
-    # build the padded neighbor lists once per exchange block instead of
-    # every step (bulk systems; exact when the potential's nlist_skin
-    # covers one block's drift - overflow is checked per block)
+    # build the padded 2b pair / 3b triplet lists once per exchange
+    # block instead of every step (bulk systems; exact when the
+    # potential's nlist_skin covers one block's drift - overflow is
+    # checked per block and always fatal). The cheap O(N) disp/elec
+    # molecule-pair lists are still rebuilt per step.
     nlist_reuse: bool = False
 
 
@@ -383,12 +388,20 @@ class REMDSimulation:
             from mbpol_openmm_plugin_tpu.system import compute_virtual_sites
             frames, frame_steps = out[8], out[9]
             box0 = np.asarray(self.state.box[0])
+            # a TrajectoryFrameWriter-style callback discards frames off
+            # its reporter's grid - skip the vsite recompute + transfer
+            # for those up front
+            interval = getattr(getattr(frame_callback, 'reporter', None),
+                               'reportInterval', 1) or 1
             for i in range(n_blocks):
+                step_i = int(frame_steps[i])
+                if interval > 1 and step_i % interval:
+                    continue
                 # M-site rows are frozen in the integrator (zero mass);
                 # recompute them for reporting, like Context.getState
                 pos = np.asarray(compute_virtual_sites(self.system,
                                                        frames[i]))
-                frame_callback(int(frame_steps[i]), pos, box0)
+                frame_callback(step_i, pos, box0)
 
         pe_host = np.asarray(pe)
         accept_host = np.asarray(accept)
@@ -403,15 +416,18 @@ class REMDSimulation:
         self._accept_sum += accept_host.sum(axis=0)
         self._parity = (self._parity + n_blocks) % 2
 
+        # a padded-list overflow invalidates the computed energies
+        # themselves (truncated interactions), so it is fatal regardless
+        # of the check_health opt-out
+        ov = np.asarray(list_overflow)
+        if ov.any():
+            raise RuntimeError(
+                'REMD neighbor-list overflow during an nlist_reuse '
+                'block (first at block %d): raise the capacities with '
+                'tune_capacities or disable nlist_reuse'
+                % int(np.argmax(ov)))
         if check_health:
             nan_bad = np.isnan(pe_host).any()
-            ov = np.asarray(list_overflow)
-            if ov.any():
-                raise RuntimeError(
-                    'REMD neighbor-list overflow during an nlist_reuse '
-                    'block (first at block %d): raise the capacities with '
-                    'tune_capacities or disable nlist_reuse'
-                    % int(np.argmax(ov)))
             _e, _f, _mu, ok = jax.vmap(self._ef_fn, in_axes=(0, None))(
                 self.state.positions, None)
             if nan_bad or not bool(jnp.all(ok)):

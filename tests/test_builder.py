@@ -292,5 +292,8 @@ def test_builder_renders_bulk_remd(tmp_path):
                        env=dict(os.environ, PYTHONPATH=REPO))
     assert r.returncode == 0, r.stderr
     assert 'nlist_reuse=True' in r.stdout
+    # the app layer builds skin-0 potentials; the script must rebuild
+    # with a skin or REMDSimulation(nlist_reuse=True) raises
+    assert 'dataclasses.replace(pot.config, nlist_skin=0.02)' in r.stdout
     assert 'TrajectoryFrameWriter' in r.stdout
     ast.parse(r.stdout)

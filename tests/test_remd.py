@@ -320,3 +320,25 @@ def test_remd_nlist_reuse_matches_per_step_rebuild():
     with pytest.raises(ValueError):
         remd.REMDSimulation(pot, temperatures=[300.0, 360.0],
                             config=remd.REMDConfig(nlist_reuse=True))
+
+
+def test_remd_nlist_reuse_app_layer_skin_rebuild():
+    """The builder's [remd] nlist_reuse path: app-layer potentials carry
+    nlist_skin = 0 (rejected, clear error), and the rendered script's
+    dataclasses.replace(..., nlist_skin=...) rebuild is accepted."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from mbpol_openmm_plugin_tpu.system import compute_virtual_sites
+
+    fix = fixtures.load('water50')
+    sys_ = System.waters(50, box=[1.8, 1.8, 1.8])
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    pot0 = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.45))
+    cfg = remd.REMDConfig(nlist_reuse=True)
+    with pytest.raises(ValueError, match='nlist_skin'):
+        remd.REMDSimulation(pot0, temperatures=[300.0, 360.0], config=cfg)
+    pot = MBPol(pot0.system, dc.replace(pot0.config, nlist_skin=0.02))
+    sim = remd.REMDSimulation(pot, temperatures=[300.0, 360.0], config=cfg)
+    assert sim is not None
