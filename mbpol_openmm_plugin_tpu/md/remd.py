@@ -288,6 +288,10 @@ class REMDSimulation:
             return e, f, mu_new, ok
 
         self._ef_fn = ef_fn
+        # block-boundary health check: jitted and cached - an eager vmapped
+        # evaluation dispatches the full PME+SCF pipeline op-by-op (measured
+        # ~10 s per run() call on the tunneled TPU, 10x the block itself)
+        self._health_eval = jax.jit(jax.vmap(lambda p: ef_fn(p, None)))
 
         list_builder = None
         if config.nlist_reuse:
@@ -322,8 +326,7 @@ class REMDSimulation:
         self.state = initial_state(self.system, positions,
                                    self.temperatures, self._init_key,
                                    box=box)
-        e, f, mu, _ok = jax.vmap(self._ef_fn, in_axes=(0, None))(
-            self.state.positions, None)
+        e, f, mu, _ok = self._health_eval(self.state.positions)
         self.state = dataclasses.replace(self.state, forces=f,
                                          potential_energy=e)
         self._mu = mu if self._warm else None
@@ -428,8 +431,7 @@ class REMDSimulation:
                 % int(np.argmax(ov)))
         if check_health:
             nan_bad = np.isnan(pe_host).any()
-            _e, _f, _mu, ok = jax.vmap(self._ef_fn, in_axes=(0, None))(
-                self.state.positions, None)
+            _e, _f, _mu, ok = self._health_eval(self.state.positions)
             if nan_bad or not bool(jnp.all(ok)):
                 raise RuntimeError(
                     'REMD health check failed: nan_in_pe=%s per_replica_ok=%s'

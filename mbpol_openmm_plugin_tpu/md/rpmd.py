@@ -441,7 +441,7 @@ def mbpol_intra_inter_split(potential):
     # state; a fresh MBPol would fall back to the conservative analytic
     # bounds and waste 2-3x on oversized pair/triplet batches)
     for attr in ('pair_cap', 'trip_cap', 'pair_eval_cap', 'trip_eval_cap',
-                 'elec_pair_cap', '_block_info'):
+                 'elec_pair_cap', '_block_info', 'nlist_k_max', 'nlist_kt'):
         if hasattr(potential, attr):
             setattr(pot_inter, attr, getattr(potential, attr))
 
@@ -495,7 +495,7 @@ class PIMDSimulation:
     def __init__(self, potential, n_beads, dt=1e-4, temperature=300.0,
                  tau0=0.1, thermostat='pile', contraction=None, seed=0,
                  mesh=None, scf_warm_start=True, barostat_pressure=None,
-                 barostat_interval=25):
+                 barostat_interval=25, nlist_rebuild_interval=1):
         self.potential = potential
         self.system = potential.system
         self.n_beads = int(n_beads)
@@ -503,6 +503,28 @@ class PIMDSimulation:
         self.temperature = float(temperature)
         self.contraction = contraction
         self._key = jax.random.PRNGKey(seed)
+        # nlist_rebuild_interval > 1: build the padded pair/triplet lists
+        # for the evaluated bead set once every k steps inside the scan
+        # instead of inside every per-bead evaluation (REMD nlist_reuse
+        # semantics: exact while nlist_skin/2 covers one interval's
+        # per-bead drift; per-bead overflow is checked and always fatal).
+        # The on-device list build costs more than the MD step itself
+        # (measured ~6 ms vs ~4 ms at water256), so the default
+        # per-evaluation rebuild dominates bulk PIMD cost.
+        self._nl_every = max(int(nlist_rebuild_interval), 1)
+        self._nl_reuse = self._nl_every > 1
+        if self._nl_reuse:
+            if not potential.use_neighbor_lists:
+                raise ValueError('nlist_rebuild_interval > 1 needs a '
+                                 'neighbor-list potential (bulk systems)')
+            if potential.config.nlist_skin <= 0:
+                raise ValueError('nlist_rebuild_interval > 1 requires '
+                                 'nlist_skin > 0 to stay exact across the '
+                                 'reuse interval')
+            if barostat_pressure is not None:
+                raise ValueError('nlist_rebuild_interval > 1 is '
+                                 'unsupported under NPT (the box is '
+                                 'trajectory state; lists must follow it)')
         # NPT: MC volume moves on the ring polymer every barostat_interval
         # steps (rpmd_barostat_move: centroid scaling, spring-invariant).
         # The box becomes trajectory state, so the per-bead evaluations
@@ -551,7 +573,46 @@ class PIMDSimulation:
                 return jnp.tensordot(jnp.asarray(Tm, q.dtype), q,
                                      axes=(1, 0))
 
-            if self._warm:
+            self._eval_pot = pot_inter
+            self._to_eval = to_contracted
+            if self._nl_reuse:
+                b_intra = jax.vmap(ef_intra, in_axes=(0, None))
+                if self._warm:
+                    def inter_nl(p, mu0, nl):
+                        e, f, parts, diag = pot_inter._energy_forces_impl(
+                            p, mu0, nlists=nl)
+                        return e, f, diag.get('induced_dipoles', mu0)
+                    b_inter_nl = jax.vmap(inter_nl)
+
+                    def ef_aux(q, aux):   # aux = (mu [nc,na,3], nl, over)
+                        mu, nl, ov = aux
+                        qc = to_contracted(q)
+                        e_c, f_c, mu_new = b_inter_nl(qc, mu, nl)
+                        e_i, f_i = b_intra(q, None)
+                        e, f = combine(q, e_c, f_c, e_i, f_i)
+                        return e, f, (mu_new, nl, ov)
+
+                    self._mu_beads = nc
+                else:
+                    def inter_nl(p, nl):
+                        e, f, parts, diag = pot_inter._energy_forces_impl(
+                            p, nlists=nl)
+                        return e, f
+                    b_inter_nl = jax.vmap(inter_nl)
+
+                    def ef_aux(q, aux):   # aux = (None, nl, over)
+                        _, nl, ov = aux
+                        qc = to_contracted(q)
+                        e_c, f_c = b_inter_nl(qc, nl)
+                        e_i, f_i = b_intra(q, None)
+                        e, f = combine(q, e_c, f_c, e_i, f_i)
+                        return e, f, (None, nl, ov)
+
+                self._step = make_rpmd_step(
+                    potential.system, ef_aux, n_beads, dt, temperature,
+                    tau0=tau0, thermostat=thermostat, batched=True,
+                    with_aux=True)
+            elif self._warm:
                 def inter_one(p, mu0, box=None):
                     e, f, parts, diag = pot_inter._energy_forces_impl(
                         p, mu0, box=box)
@@ -605,7 +666,30 @@ class PIMDSimulation:
                     return e, f
                 return jax.vmap(one)(q)
             self._ef_all = ef_all
-            if self._warm:
+            self._eval_pot = potential
+            self._to_eval = lambda q: q
+            if self._nl_reuse:
+                # per-bead lists ride the aux carry; vmapped by
+                # make_rpmd_step's (0, 0) in_axes (bead-leading aux)
+                if self._warm:
+                    def one_aux(p, aux):
+                        mu0, nl, ov = aux
+                        e, f, parts, diag = potential._energy_forces_impl(
+                            p, mu0, nlists=nl)
+                        return e, f, (diag.get('induced_dipoles', mu0),
+                                      nl, ov)
+                    self._mu_beads = self.n_beads
+                else:
+                    def one_aux(p, aux):
+                        _, nl, ov = aux
+                        e, f, parts, diag = potential._energy_forces_impl(
+                            p, nlists=nl)
+                        return e, f, (None, nl, ov)
+                self._step = make_rpmd_step(
+                    potential.system, one_aux, n_beads, dt, temperature,
+                    tau0=tau0, thermostat=thermostat, mesh=mesh,
+                    with_aux=True)
+            elif self._warm:
                 def one_aux(p, mu0, box=None):
                     e, f, parts, diag = potential._energy_forces_impl(
                         p, mu0, box=box)
@@ -638,6 +722,18 @@ class PIMDSimulation:
                 self._step = make_rpmd_potential_step(
                     potential, n_beads, dt, temperature, tau0=tau0,
                     thermostat=thermostat, mesh=mesh)
+        if self._nl_reuse:
+            def _one_build(p):
+                pl, tl, diag = self._eval_pot._neighbor_lists(p)
+                ov = jnp.zeros((), bool)
+                for kk, v in diag.items():
+                    if kk.endswith('_overflow'):
+                        ov = ov | v
+                return (pl, tl), ov
+            # per-evaluated-bead lists + overflow flags (bead-leading)
+            self._nl_builder = jax.vmap(_one_build)
+        self._nl = None
+        self._nl_over = None
         self.state = None
         self._mu = None
         self._baro_state = None   # adaptive (scale, attempted, accepted)
@@ -648,6 +744,7 @@ class PIMDSimulation:
         self.state = initial_state(self.system, pos, self.n_beads,
                                    self.temperature, self._key, box=box,
                                    spread=spread)
+        self._nl = None          # reuse lists are reseeded lazily by step()
         if self._warm:
             # warm-start dipoles: zeros converge to the same fixed point
             # (only the very first step pays a few extra SCF iterations)
@@ -672,6 +769,30 @@ class PIMDSimulation:
                                          potential_energy=e)
 
     def _scan_steps(self, state, mu, k):
+        if self._nl_reuse:
+            # mu is the full aux tuple (mu-or-None, nlists, overflow);
+            # the lists are rebuilt every _nl_every steps from the
+            # evaluated bead set (i == 0 included, so every chunk starts
+            # fresh regardless of what happened between chunks)
+            def body(carry, i):
+                s, a = carry
+                m, nl, ov = a
+
+                def rebuild(args):
+                    _nl0, ov0 = args
+                    nl2, ov2 = self._nl_builder(self._to_eval(s.positions))
+                    return nl2, ov0 | ov2
+
+                nl, ov = jax.lax.cond(i % self._nl_every == 0,
+                                      rebuild, lambda args: args, (nl, ov))
+                s, a = self._step(s, (m, nl, ov))
+                ke = kinetic_energy_virial(self.system, s.positions,
+                                           s.forces, self.temperature)
+                return (s, a), (jnp.sum(s.potential_energy), ke)
+
+            (state, mu), out = jax.lax.scan(body, (state, mu),
+                                            jnp.arange(k))
+            return state, mu, out
         if self._warm:
             def body(carry, _):
                 s, m = carry
@@ -791,8 +912,30 @@ class PIMDSimulation:
         remaining = n_steps
         while remaining > 0:
             k = min(report_interval, remaining)
-            self.state, self._mu, self._baro_state, (pes, kes) = \
-                self._chunk(self.state, self._mu, self._baro_state, n=k)
+            if self._nl_reuse:
+                if self._nl is None:
+                    # shape seed for the scan carry (set_positions /
+                    # checkpoint resume); contents are rebuilt at i == 0
+                    self._nl, self._nl_over = jax.jit(
+                        lambda q: self._nl_builder(self._to_eval(q)))(
+                            self.state.positions)
+                mu_arg = (self._mu, self._nl, self._nl_over)
+            else:
+                mu_arg = self._mu
+            self.state, mu_out, self._baro_state, (pes, kes) = \
+                self._chunk(self.state, mu_arg, self._baro_state, n=k)
+            if self._nl_reuse:
+                self._mu, self._nl, self._nl_over = mu_out
+                # a padded-list overflow during a reuse interval truncates
+                # interactions silently - fatal regardless of check_health
+                if bool(np.asarray(self._nl_over).any()):
+                    raise RuntimeError(
+                        'PIMD neighbor-list overflow during an '
+                        'nlist_rebuild_interval block: raise the '
+                        'capacities with tune_capacities or rebuild '
+                        'every step')
+            else:
+                self._mu = mu_out
             pe_host = np.asarray(pes)
             if check_health and np.isnan(pe_host).any():
                 at = int(self.state.step) - k + int(np.argmax(np.isnan(pe_host)))
@@ -873,6 +1016,7 @@ class PIMDSimulation:
             potential_energy=jnp.asarray(ck['potential_energy']),
             box=jnp.asarray(ck['box']), step=jnp.asarray(ck['step']),
             rng=jnp.asarray(ck['rng']))
+        self._nl = None          # reuse lists are reseeded lazily by step()
         if self._warm:
             self._mu = (jnp.asarray(ck['mu']) if 'mu' in ck else
                         jnp.zeros((self._mu_beads, self.system.n_atoms, 3),

@@ -215,6 +215,10 @@ class MBPol:
                     self.disp_pair_cap = M.round_up(self.disp_pair_cap,
                                                     mesh.devices.size)
         self.disp_mode = dmode
+        # on-device triplet-build shape parameters (tune_capacities sets
+        # tighter values from measured neighbor counts; None = analytic)
+        self.nlist_k_max = None
+        self.nlist_kt = None
         if self.use_neighbor_lists:
             box = system.box
             f = config.neighbor_capacity_factor
@@ -261,12 +265,16 @@ class MBPol:
         pairs, pmask, n_p = neighbors.pair_list(o_pos, box,
                                                 self.config.cutoff_2b + skin,
                                                 self.pair_cap)
-        # k_max must be static (shapes); derive it from the construction box
-        k_max = neighbors.max_neighbors(sys_.n_waters, sys_.box,
-                                        self.config.cutoff_3b + skin)
+        # k_max/kt must be static (shapes); tuned by tune_capacities from
+        # actual neighbor counts, else the analytic construction-box bound
+        k_max = self.nlist_k_max
+        if k_max is None:
+            k_max = neighbors.max_neighbors(sys_.n_waters, sys_.box,
+                                            self.config.cutoff_3b + skin)
         trips, tmask, n_t = neighbors.triplet_list(
             o_pos, box, self.config.cutoff_3b + skin, self.trip_cap,
-            k_max=k_max, semantics=self.config.triplet_semantics)
+            k_max=k_max, kt=self.nlist_kt,
+            semantics=self.config.triplet_semantics)
         if self.mesh is not None:
             from mbpol_openmm_plugin_tpu.parallel import mesh as M
             rs = M.row_sharded(self.mesh)
@@ -455,10 +463,31 @@ class MBPol:
         o = np.asarray(pos[self.system.o_index])
         box = self.system.box
         skin = self.config.nlist_skin
-        _, n_p = native.pair_list(o, box, self.config.cutoff_2b + skin)
-        _, n_t = native.triplet_list(o, box, self.config.cutoff_3b + skin)
+        pairs_np, n_p = native.pair_list(o, box, self.config.cutoff_2b + skin)
+        trips_np, n_t = native.triplet_list(o, box, self.config.cutoff_3b + skin)
         self.pair_cap = max(int(margin * n_p) + 16, 64)
         self.trip_cap = max(int(margin * n_t) + 32, 128)
+        # tuned per-center shape parameters for the on-device triplet build
+        # (ops/neighbors.triplet_list two-stage selection): the dominant
+        # cost is the [n, K, K] candidate block and its [n, K*K] stage-1
+        # sort, so sizing K from the ACTUAL 3b-cutoff neighbor counts
+        # (analytic bound K=46 vs measured ~20 at water256 density) halves
+        # the build. Truncation by either bound is caught on device and
+        # folded into triplet_overflow (always fatal in the MD drivers).
+        n_w = self.system.n_waters
+        pairs3, _ = native.pair_list(o, box, self.config.cutoff_3b + skin)
+        if len(pairs3):
+            max_nbr = int(np.bincount(pairs3.ravel(), minlength=n_w).max())
+        else:
+            max_nbr = 0
+        self.nlist_k_max = min(max(int(np.ceil(1.3 * max_nbr)) + 2, 8),
+                               max(n_w - 1, 1))
+        if len(trips_np):
+            max_ct = int(np.bincount(trips_np[:, 1], minlength=n_w).max())
+        else:
+            max_ct = 0
+        self.nlist_kt = min(int(np.ceil(1.4 * max_ct)) + 8,
+                            self.nlist_k_max * (self.nlist_k_max - 1) // 2)
         if self.compact_eval and skin > 0:
             _, n_pe = native.pair_list(o, box, self.config.cutoff_2b)
             _, n_te = native.triplet_list(o, box, self.config.cutoff_3b)

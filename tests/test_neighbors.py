@@ -144,3 +144,70 @@ def test_compact_eval_end_to_end():
     assert not bool(d1['triplet_eval_overflow'])
     np.testing.assert_allclose(float(e1), float(e0), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-6)
+
+
+def test_triplet_two_stage_tuned_and_overflow():
+    """Two-stage triplet selection: tuned (k_max, kt) reproduces the exact
+    set; undersized k_max or kt is surfaced through the n_found > capacity
+    overflow contract instead of silently truncating."""
+    box = [1.8] * 3
+    sys_, pos = fixtures.load_system('water50', box=box)
+    pos = make_molecules_whole(sys_, pos)
+    o = pos[sys_.o_index]
+    cutoff = 0.55
+
+    cap = neighbors.triplet_capacity(50, box, cutoff)
+    ref, rmask, n_ref = neighbors.triplet_list(o, box, cutoff, cap)
+    ref_set = {tuple(t) for t, m in zip(np.asarray(ref), np.asarray(rmask)) if m}
+
+    # measured shape parameters (what tune_capacities derives natively)
+    d = np.asarray(o)[:, None, :] - np.asarray(o)[None, :, :]
+    d -= np.floor(d / np.asarray(box) + 0.5) * np.asarray(box)
+    edge = ((d ** 2).sum(-1) < cutoff ** 2) & ~np.eye(50, dtype=bool)
+    max_nbr = int(edge.sum(1).max())
+    centers = np.asarray(ref)[np.asarray(rmask)][:, 1]
+    max_ct = int(np.bincount(centers, minlength=50).max())
+
+    tuned, tmask, n_t = neighbors.triplet_list(
+        o, box, cutoff, cap, k_max=max_nbr, kt=max_ct)
+    assert int(n_t) == int(n_ref) <= cap
+    got = {tuple(t) for t, m in zip(np.asarray(tuned), np.asarray(tmask)) if m}
+    assert got == ref_set
+
+    # undersized per-center capacity -> overflow, not silent truncation
+    _, _, n_over = neighbors.triplet_list(
+        o, box, cutoff, cap, k_max=max_nbr, kt=max_ct - 1)
+    assert int(n_over) > cap
+
+    # undersized neighbor fan-out -> overflow as well
+    _, _, n_over2 = neighbors.triplet_list(
+        o, box, cutoff, cap, k_max=max_nbr - 1, kt=max_ct)
+    assert int(n_over2) > cap
+
+
+def test_tune_capacities_sets_triplet_shape_params():
+    """tune_capacities derives nlist_k_max/nlist_kt from native counts and
+    the tuned build matches the analytic-shape build exactly."""
+    import pytest
+
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+    from mbpol_openmm_plugin_tpu.ops import native
+    try:
+        native._lib()
+    except Exception:
+        pytest.skip('native library unavailable')
+
+    box = [1.8] * 3
+    sys_, pos = fixtures.load_system('water50', box=box)
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.85,
+                                  target_epsilon=1e-7, nlist_skin=0.05))
+    (p0, pm0), (t0, tm0), _ = pot._neighbor_lists(pos)
+    assert pot.nlist_k_max is None
+    pot.tune_capacities(pos)
+    assert pot.nlist_k_max is not None and pot.nlist_kt is not None
+    assert pot.nlist_k_max < 49    # actually tuned below the analytic bound
+    (p1, pm1), (t1, tm1), diag = pot._neighbor_lists(pos)
+    assert not bool(diag['triplet_overflow'])
+    trip_set = lambda t, m: {tuple(x) for x, mm
+                             in zip(np.asarray(t), np.asarray(m)) if mm}
+    assert trip_set(t1, tm1) == trip_set(t0, tm0)

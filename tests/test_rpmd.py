@@ -750,3 +750,63 @@ def test_pimd_report_pressure():
     simc = rpmd.PIMDSimulation(potc, n_beads=2, dt=2e-5, temperature=300.0)
     with pytest.raises(ValueError):
         simc.step(1, report_pressure=True)
+
+
+@pytest.mark.slow
+def test_pimd_nlist_reuse_matches_per_step_rebuild():
+    """nlist_rebuild_interval > 1 must be bit-identical to the default
+    per-evaluation rebuild while nlist_skin covers the interval's drift
+    (same semantics as REMD nlist_reuse): same seed, same trajectory."""
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    fix = fixtures.load('water50')
+    sys_ = System.waters(50, box=[1.8, 1.8, 1.8])
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions']))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.45,
+                                  target_epsilon=1e-5, nlist_skin=0.05))
+    pot.tune_capacities(pos)
+
+    def run(**kw):
+        sim = rpmd.PIMDSimulation(pot, n_beads=2, dt=2e-5, temperature=300.0,
+                                  tau0=0.05, seed=6, **kw)
+        sim.set_positions(pos, spread=0.0005)
+        m = sim.step(4, report_interval=2)
+        return sim, m
+
+    sim0, m0 = run()
+    sim1, m1 = run(nlist_rebuild_interval=3)
+    np.testing.assert_allclose(np.asarray(sim1.state.positions),
+                               np.asarray(sim0.state.positions), atol=0)
+    np.testing.assert_allclose(m1['potential_energy'],
+                               m0['potential_energy'], atol=0)
+
+    # contracted variant reuses lists for the contracted bead set
+    simc0, mc0 = run(contraction=1)
+    simc1, mc1 = run(contraction=1, nlist_rebuild_interval=2)
+    np.testing.assert_allclose(np.asarray(simc1.state.positions),
+                               np.asarray(simc0.state.positions), atol=0)
+    np.testing.assert_allclose(mc1['potential_energy'],
+                               mc0['potential_energy'], atol=0)
+
+
+def test_pimd_nlist_reuse_guards():
+    """Reuse needs neighbor lists, a positive skin, and NVT (lists must
+    follow an NPT box)."""
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    potc = MBPol(System.waters(2), MBPolConfig(nonbonded_method='NoCutoff'))
+    with pytest.raises(ValueError, match='neighbor-list'):
+        rpmd.PIMDSimulation(potc, n_beads=2, nlist_rebuild_interval=4)
+
+    sysb = System.waters(50, box=[1.8, 1.8, 1.8])
+    pot0 = MBPol(sysb, MBPolConfig(nonbonded_method='PME', cutoff=0.45,
+                                   nlist_skin=0.0))
+    with pytest.raises(ValueError, match='nlist_skin'):
+        rpmd.PIMDSimulation(pot0, n_beads=2, nlist_rebuild_interval=4)
+
+    pots = MBPol(sysb, MBPolConfig(nonbonded_method='PME', cutoff=0.45,
+                                   nlist_skin=0.05))
+    with pytest.raises(ValueError, match='NPT'):
+        rpmd.PIMDSimulation(pots, n_beads=2, nlist_rebuild_interval=4,
+                            barostat_pressure=1.0)
