@@ -27,6 +27,8 @@ from mbpol_openmm_plugin_tpu.app.simulation import (AndersenThermostat,  # noqa:
                                                     LangevinIntegrator,
                                                     LocalEnergyMinimizer,
                                                     MonteCarloBarostat,
+                                                    MTSLangevinIntegrator,
+                                                    MTSVerletIntegrator,
                                                     PIMDCentroidWriter, Simulation,
                                                     TrajectoryFrameWriter,
                                                     StateDataReporter, VerletIntegrator)

@@ -25,6 +25,25 @@ class LangevinIntegrator:
         self.dt = float(unit.to_internal(stepSize, unit.picosecond))
 
 
+class MTSVerletIntegrator(VerletIntegrator):
+    """OpenMM MTSIntegrator role (r-RESPA): stepSize is the OUTER step for
+    the expensive intermolecular terms; the Partridge-Schwenke monomer term
+    integrates at stepSize/innerSteps (md/integrators.respa_velocity_verlet_step)."""
+
+    def __init__(self, stepSize, innerSteps=2):
+        super().__init__(stepSize)
+        self.respa_inner = int(innerSteps)
+
+
+class MTSLangevinIntegrator(LangevinIntegrator):
+    """OpenMM MTSLangevinIntegrator role: BAOAB-RESPA (the O-step runs per
+    inner sub-step; outer half-kicks carry the slow forces)."""
+
+    def __init__(self, temperature, frictionCoeff, stepSize, innerSteps=2):
+        super().__init__(temperature, frictionCoeff, stepSize)
+        self.respa_inner = int(innerSteps)
+
+
 class AndersenThermostat(_Force):
     def __init__(self, temperature, collisionFrequency):
         super().__init__('andersen_thermostat',
@@ -282,6 +301,7 @@ class Simulation:
         if baro:
             cfg.barostat_pressure = baro[0].params['pressure']
             cfg.barostat_interval = baro[0].params['frequency']
+        cfg.respa_inner = getattr(integrator, 'respa_inner', 1)
         self._dt = integrator.dt
 
         mb_cfg = MBPolConfig(

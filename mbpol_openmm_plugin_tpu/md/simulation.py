@@ -55,6 +55,12 @@ class SimulationConfig:
     # (requires the potential's nlist_skin > 0 to be exact; with skin 0 the
     # lists are rebuilt every step, matching the reference).
     nlist_rebuild_interval: int = 1
+    # r-RESPA multiple timestepping (OpenMM MTSIntegrator role): dt becomes
+    # the OUTER step for the expensive intermolecular terms (PIPs,
+    # polarization/PME, dispersion); the cheap Partridge-Schwenke monomer
+    # term - whose OH stretch pins MB-pol's 0.2 fs timestep - runs at
+    # dt/respa_inner. 1 = single-timestep integration (default).
+    respa_inner: int = 1
 
 
 class Simulation:
@@ -74,6 +80,8 @@ class Simulation:
         # across chunks, initialized lazily from the first box
         self._baro = None
         self._step_chunk = jax.jit(self._step_chunk_impl, static_argnames=('n_steps',))
+        # r-RESPA fast/slow split, built lazily on first use
+        self._respa = None
 
     # ------------------------------------------------------------------
     def set_positions(self, positions, box=None):
@@ -124,6 +132,49 @@ class Simulation:
                                               cfg.temperature, cfg.collision_frequency)
         return state, aux[0], aux[1]
 
+    def _respa_split(self):
+        """(ef_fast, pot_slow) for r-RESPA, built once. Fast = the one-body
+        monomer term; slow = everything else on its own MBPol instance
+        (tuned capacities inherited) - the same split ring-polymer
+        contraction uses (md/rpmd.mbpol_intra_inter_split)."""
+        if self._respa is None:
+            from mbpol_openmm_plugin_tpu.md.rpmd import mbpol_intra_inter_split
+            ef_intra, ef_inter = mbpol_intra_inter_split(self.potential)
+            self._respa = (ef_intra, ef_inter._potential)
+        return self._respa
+
+    def _one_step_respa(self, state, mu, f_slow, nlists=None):
+        """One r-RESPA outer step. Returns (state', mu', f_slow', health)."""
+        cfg = self.config
+        ef_intra, pot_slow = self._respa_split()
+        box = state.box if cfg.barostat_pressure is not None else None
+
+        aux = [mu, jnp.ones((), bool)]
+
+        def ef_slow(p):
+            e, f, parts, diag = pot_slow._energy_forces_impl(
+                p, mu if cfg.scf_warm_start else None, nlists=nlists, box=box)
+            aux[0] = diag.get('induced_dipoles')
+            aux[1] = self._health(diag)
+            return e, f
+
+        def ef_fast(p):
+            return ef_intra(p, box)
+
+        if cfg.temperature is not None and cfg.thermostat == 'langevin':
+            state, f_slow, _ = I.respa_langevin_step(
+                self.system, ef_fast, ef_slow, state, f_slow, cfg.dt,
+                cfg.respa_inner, cfg.temperature, cfg.friction)
+        else:
+            state, f_slow, _ = I.respa_velocity_verlet_step(
+                self.system, ef_fast, ef_slow, state, f_slow, cfg.dt,
+                cfg.respa_inner)
+            if cfg.temperature is not None and cfg.thermostat == 'andersen':
+                state = I.andersen_thermostat(self.system, state, cfg.dt,
+                                              cfg.temperature,
+                                              cfg.collision_frequency)
+        return state, aux[0], f_slow, aux[1]
+
     def _step_chunk_impl(self, state, baro, n_steps):
         cfg = self.config
         reuse = max(int(cfg.nlist_rebuild_interval), 1)
@@ -139,12 +190,24 @@ class Simulation:
                  self.potential.config.aspc_k), state.positions.dtype)
              if aspc else None)
 
+        respa = int(cfg.respa_inner) > 1
+        pot_nl = self._respa_split()[1] if respa else self.potential
+
         def scan_group(state, mu, n):
             nlists = None
+            box = state.box if cfg.barostat_pressure is not None else None
             if use_nl and reuse > 1:
-                box = state.box if cfg.barostat_pressure is not None else None
-                pl, tl, _ = self.potential._neighbor_lists(state.positions, box=box)
+                pl, tl, _ = pot_nl._neighbor_lists(state.positions, box=box)
                 nlists = (pl, tl)
+
+            f_slow = None
+            if respa:
+                # slow forces at the group's entry positions (also refreshes
+                # them after a barostat volume move rescaled everything)
+                mu_seed = mu[0] if (aspc and mu is not None) else mu
+                _, f_slow, _, _ = self._respa_split()[1]._energy_forces_impl(
+                    state.positions, mu_seed if warm else None,
+                    nlists=nlists, box=box)
 
             def body(carry, _):
                 # HOT PATH: the only per-step scan output is the potential
@@ -155,16 +218,25 @@ class Simulation:
                 # while_loop or an extra reduction breaks overlap). The
                 # unused health value below is dead-code-eliminated by XLA;
                 # health is instead checked at report boundaries (step()).
-                s, m = carry
+                s, m, fs = carry
                 if aspc:
                     mu0 = jnp.einsum('h,hnd->nd', B, m)
-                    s, mu_new, _ok = self._one_step(s, mu0, nlists)
+                    if respa:
+                        s, mu_new, fs, _ok = self._one_step_respa(s, mu0, fs, nlists)
+                    else:
+                        s, mu_new, _ok = self._one_step(s, mu0, nlists)
                     m = jnp.roll(m, 1, axis=0).at[0].set(mu_new)
+                elif respa:
+                    s, mu_new, fs, _ok = self._one_step_respa(s, m, fs, nlists)
+                    # cold runs carry mu=None; keep the scan carry structure
+                    m = mu_new if warm else None
                 else:
-                    s, m, _ok = self._one_step(s, m, nlists)
-                return (s, m), s.potential_energy
+                    s, mu_new, _ok = self._one_step(s, m, nlists)
+                    m = mu_new if warm else None
+                return (s, m, fs), s.potential_energy
 
-            (state, mu), pes = jax.lax.scan(body, (state, mu), None, length=n)
+            (state, mu, _), pes = jax.lax.scan(body, (state, mu, f_slow),
+                                               None, length=n)
             return state, mu, pes
 
         mu = None

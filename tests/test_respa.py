@@ -1,0 +1,158 @@
+"""r-RESPA multiple-timestep integration tests.
+
+The reference integrates with OpenMM's single-timestep Verlet (SURVEY 3.4);
+the TPU framework adds the OpenMM MTSIntegrator / MTSLangevinIntegrator role
+natively: the expensive intermolecular terms (PIPs, polarization, dispersion)
+kick at the outer step, the Partridge-Schwenke monomer term - whose OH
+stretch pins MB-pol's 0.2 fs timestep - integrates at dt/n_inner.
+
+Validation without reference goldens (the reference has no MTS): the
+splitting algebra reduces to velocity Verlet when the fast channel is empty,
+the split energies rebuild the full potential exactly, and NVE conservation
+holds at an outer step where the expensive terms run 2x less often.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fixtures
+from mbpol_openmm_plugin_tpu.md import integrators as I
+from mbpol_openmm_plugin_tpu.md.simulation import Simulation, SimulationConfig
+from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+
+def _sim(respa_inner, dt, temperature=None, thermostat='andersen', seed=1,
+         **cfg_kw):
+    sys_, pos = fixtures.load_system('water3')
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff', cutoff=0.9))
+    sim = Simulation(pot, SimulationConfig(dt=dt, temperature=temperature,
+                                           thermostat=thermostat,
+                                           respa_inner=respa_inner, **cfg_kw),
+                     seed=seed)
+    sim.set_positions(pos)
+    return sim
+
+
+def test_respa_step_reduces_to_verlet():
+    """With an empty fast channel and n_inner=1, one RESPA step is exactly
+    one velocity-Verlet step (the inner drift sees constant velocity)."""
+    sys_, pos = fixtures.load_system('water3')
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff', cutoff=0.9))
+
+    def ef(p):
+        e, f, _, _ = pot._energy_forces_impl(p)
+        return e, f
+
+    def ef_zero(p):
+        return jnp.zeros((), p.dtype), jnp.zeros_like(p)
+
+    pos = jnp.asarray(pos)
+    e0, f0 = ef(pos)
+    key = jax.random.PRNGKey(0)
+    v0 = I.maxwell_boltzmann_velocities(sys_, 50.0, key, pos.dtype)
+    state = I.MDState(positions=pos, velocities=v0, forces=f0,
+                      potential_energy=e0, box=jnp.zeros(3, pos.dtype),
+                      step=jnp.zeros((), jnp.int32), rng=key)
+    dt = 0.0002
+
+    s_vv = state
+    s_mts, f_slow = state, f0
+    for _ in range(5):
+        s_vv = I.velocity_verlet_step(sys_, ef, s_vv, dt)
+        s_mts, f_slow, _ = I.respa_velocity_verlet_step(
+            sys_, ef_zero, ef, s_mts, f_slow, dt, 1)
+    np.testing.assert_allclose(np.asarray(s_mts.positions),
+                               np.asarray(s_vv.positions), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(s_mts.velocities),
+                               np.asarray(s_vv.velocities), atol=1e-11)
+    np.testing.assert_allclose(float(s_mts.potential_energy),
+                               float(s_vv.potential_energy), rtol=1e-12)
+
+
+def test_respa_split_energy_matches_full():
+    """The reported potential energy (fast + slow channels at the new
+    positions) equals a full-potential evaluation there. SCF warm start is
+    off so both evaluations run an identical cold-started SCF (warm start
+    shifts the converged dipoles at the SCF tolerance, ~1e-7 relative)."""
+    sim = _sim(respa_inner=2, dt=0.0004, scf_warm_start=False)
+    sim.set_velocities_to_temperature(50.0)
+    sim.step(3)
+    e_full, _, _, _ = sim.potential.energy_forces(sim.state.positions)
+    np.testing.assert_allclose(float(sim.state.potential_energy),
+                               float(e_full), rtol=1e-10)
+    # total forces too (slow + fast at the step's final positions)
+    _, f_full, _, _ = sim.potential.energy_forces(sim.state.positions)
+    np.testing.assert_allclose(np.asarray(sim.state.forces),
+                               np.asarray(f_full), atol=1e-6)
+
+
+def test_respa_nve_energy_conservation():
+    """NVE at a 0.4 fs OUTER step (intermolecular terms evaluated 2x less
+    often than the reference's 0.2 fs protocol), monomer term at 0.2 fs."""
+    sim = _sim(respa_inner=2, dt=0.0004)
+    sim.set_velocities_to_temperature(50.0)
+    m0 = sim.step(5)
+    e0 = m0['total_energy'][-1]
+    m = sim.step(100, report_interval=20)
+    drift = np.max(np.abs(m['total_energy'] - e0))
+    assert drift < 0.05, (drift, m['total_energy'], e0)
+
+
+def test_respa_langevin_thermalizes():
+    sim = _sim(respa_inner=2, dt=0.0004, temperature=300.0,
+               thermostat='langevin')
+    sim.step(150, report_interval=150)
+    t = sim.step(50)['temperature'][-1]
+    assert 100.0 < t < 700.0, t
+
+
+def test_respa_checkpoint_resume_determinism(tmp_path):
+    sim = _sim(respa_inner=2, dt=0.0004, temperature=300.0,
+               thermostat='langevin')
+    sim.set_velocities_to_temperature(300.0)
+    sim.step(10)
+    path = str(tmp_path / 'ck.npz')
+    sim.save_checkpoint(path)
+    sim.step(10)
+    ref_pos = np.asarray(sim.state.positions)
+
+    sim2 = _sim(respa_inner=2, dt=0.0004, temperature=300.0,
+                thermostat='langevin')
+    sim2.load_checkpoint_file(path)
+    sim2.step(10)
+    np.testing.assert_allclose(np.asarray(sim2.state.positions), ref_pos,
+                               atol=1e-12)
+
+
+def test_app_mts_integrator_end_to_end(tmp_path):
+    """app.MTSVerletIntegrator drives the same RESPA machinery (water3
+    cluster through the OpenMM-compatible surface)."""
+    from mbpol_openmm_plugin_tpu import app
+    from mbpol_openmm_plugin_tpu.app import units_compat as unit
+    from mbpol_openmm_plugin_tpu.app.pdbfile import (Atom, Topology,
+                                                     write_pdb_frame)
+
+    d = fixtures.load('water3')
+    atoms = [Atom(i, str(n), str(rn), int(ri)) for i, (n, rn, ri) in
+             enumerate(zip(d['names'], d['resnames'], d['resids']))]
+    path = tmp_path / 'water3.pdb'
+    with open(path, 'w') as fh:
+        write_pdb_frame(fh, Topology(atoms), d['positions'])
+    pdb = app.PDBFile(str(path))
+    ff = app.ForceField(app.mbpol_xml_path())
+    system = ff.createSystem(pdb.topology,
+                             nonbondedMethod=app.CutoffNonPeriodic,
+                             nonbondedCutoff=0.9 * unit.nanometer)
+    integ = app.MTSVerletIntegrator(0.4 * unit.femtoseconds, innerSteps=2)
+    sim = app.Simulation(pdb.topology, system, integ)
+    sim.context.setPositions(pdb.positions)
+    sim.context.computeVirtualSites()
+    assert sim._core.config.respa_inner == 2
+    e0 = float(sim.context.getState(getEnergy=True).getPotentialEnergy()
+               .value_in_unit(unit.kilojoule_per_mole))
+    sim.step(5)
+    e1 = float(sim.context.getState(getEnergy=True).getPotentialEnergy()
+               .value_in_unit(unit.kilojoule_per_mole))
+    assert np.isfinite(e1) and abs(e1 - e0) < 50.0
