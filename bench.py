@@ -358,6 +358,53 @@ def _remd_figure(n_replicas=2):
                 nan_detected=bool(np.isnan(out['potential_energy']).any()))
 
 
+def _respa_figure(n_inner=2):
+    """Beyond-parity extra: r-RESPA multiple timestepping on the headline
+    box (md/integrators.respa_velocity_verlet_step). The Partridge-Schwenke
+    monomer term sub-cycles at 0.2 fs inside a 0.4 fs outer step carried by
+    the intermolecular terms, so the expensive terms run 2x less often per
+    simulated ns - ns/day is the figure of merit (steps below are OUTER
+    steps; NVE drift over the measured window is the stability gate).
+    Disable with BENCH_RESPA=0."""
+    import jax.numpy as jnp
+
+    from mbpol_openmm_plugin_tpu.md.simulation import (Simulation,
+                                                       SimulationConfig)
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+    from mbpol_openmm_plugin_tpu.system import System, compute_virtual_sites
+
+    fix = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'tests', 'fixtures',
+                               'water256_integration_test.npz'))
+    box = [19.3996888399961804 / 10.0] * 3
+    sys_ = System.waters(256, box=box)
+    pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions'],
+                                                  jnp.float32))
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
+                                  target_epsilon=1e-3, max_iterations=200,
+                                  nlist_skin=0.02))
+    pot.tune_capacities(pos)
+    dt_outer = DT_FS * 1e-3 * n_inner        # 0.2 fs inner, scaled outer
+    sim = Simulation(pot, SimulationConfig(dt=dt_outer, temperature=None,
+                                           respa_inner=n_inner), seed=0)
+    sim.set_positions(pos)
+    sim.set_velocities_to_temperature(300.0)
+    n = int(os.environ.get('BENCH_RESPA_STEPS', 100))
+    m0 = sim.step(n, report_interval=n)       # compile + thermalize
+    t0 = time.time()
+    m = sim.step(n, report_interval=n)
+    elapsed = time.time() - t0
+    sps = n / elapsed
+    etot = np.asarray(m['total_energy'])
+    return dict(outer_steps_per_second=round(sps, 3),
+                n_inner=n_inner, n_steps=n,
+                outer_dt_fs=round(dt_outer * 1e3, 3),
+                ns_per_day=round(sps * dt_outer * 1e-3 * 86400.0, 4),
+                etot_drift_kJmol=round(float(etot[-1]
+                                             - m0['total_energy'][-1]), 3),
+                nan_detected=bool(np.isnan(etot).any()))
+
+
 def main():
     import jax
     carry0, bench, e0 = build(32, scf_mode='sor')
@@ -396,6 +443,13 @@ def main():
         except Exception as exc:      # the extra must never kill the headline
             remd = dict(error=repr(exc)[:200])
 
+    respa = None
+    if os.environ.get('BENCH_RESPA', '1') != '0':
+        try:
+            respa = _respa_figure()
+        except Exception as exc:      # the extra must never kill the headline
+            respa = dict(error=repr(exc)[:200])
+
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  'BASELINE_LOCAL.json')
     vs_baseline = None
@@ -430,6 +484,7 @@ def main():
                    aspc_k=ASPC_K,
                    pimd=pimd,
                    remd=remd,
+                   respa=respa,
                    neighbor_overflow=bool(sor['neighbor_overflow']
                                           or aspc['neighbor_overflow']),
                    nan_detected=bool(np.isnan(pes).any()
