@@ -297,3 +297,26 @@ def test_builder_renders_bulk_remd(tmp_path):
     assert 'dataclasses.replace(pot.config, nlist_skin=0.02)' in r.stdout
     assert 'TrajectoryFrameWriter' in r.stdout
     ast.parse(r.stdout)
+
+
+def test_builder_renders_respa_integrator(tmp_path):
+    """[integrator] respa_inner > 1 renders the MTS (r-RESPA) integrator
+    with timestep_fs as the OUTER step; absent/1 keeps plain Verlet."""
+    import ast
+    ini = os.path.join(REPO, 'examples', 'example_ini',
+                       'mbpol_bulk_nve_respa.ini')
+    r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                        ini], capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO))
+    assert r.returncode == 0, r.stderr
+    assert 'MTSVerletIntegrator(0.4*unit.femtoseconds, innerSteps=2)' in r.stdout
+    ast.parse(r.stdout)
+
+    # control: the plain NVE INI keeps the single-timestep integrator
+    ini = os.path.join(REPO, 'examples', 'example_ini', 'mbpol_bulk_nve.ini')
+    r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                        ini], capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO))
+    assert r.returncode == 0, r.stderr
+    assert 'VerletIntegrator(' in r.stdout
+    assert 'MTSVerletIntegrator' not in r.stdout
