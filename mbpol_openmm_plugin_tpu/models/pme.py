@@ -187,6 +187,42 @@ def _readback_separable(grid, Sx, Sy, Sz):
     return out.reshape(k * c, _NDERIV, _NDERIV, _NDERIV)[:n]
 
 
+def _readback_phi10(grid, Sx, Sy, Sz):
+    """phi10[n,q] = sum_{ghk} grid[g,h,k] Sx[n,g,a_q] Sy[n,h,b_q] Sz[n,k,c_q]
+    for the 10 needed (a,b,c) derivative components (_PHI_COMP layout).
+
+    Performance-critical formulation: the P-tensor form
+    (_readback_separable + _phi10) lowers its h/k contractions to per-site
+    batched [27,27]@[27,3] matmuls - thousands of tiny, padded MXU ops that
+    dominate the whole electrostatics evaluation (0.177 of 0.200 ms at
+    water256, tools/elec_breakdown.py). Here the z contraction is three
+    well-shaped [n, nz] @ [nz, nx*ny] MXU matmuls and the y/x contractions
+    are VPU multiply-reduces, which is ~6x faster end to end. Site-chunked
+    above the temp-memory budget like the other separable pieces."""
+    n = Sx.shape[0]
+    nx, ny, nz = grid.shape
+    gz = grid.reshape(nx * ny, nz).T                      # [nz, nx*ny]
+    pairs = sorted({(b, c) for _, b, c in _PHI_COMP})
+
+    def block(Sxc, Syc, Szc):
+        m = Sxc.shape[0]
+        t1 = [(Szc[:, :, c] @ gz).reshape(m, nx, ny) for c in range(_NDERIV)]
+        t2 = {(b, c): jnp.sum(t1[c] * Syc[:, None, :, b], axis=-1)
+              for (b, c) in pairs}
+        return jnp.stack([jnp.sum(t2[(b, c)] * Sxc[:, :, a], axis=-1)
+                          for a, b, c in _PHI_COMP], axis=-1)
+
+    c = _sep_chunk(n, _NDERIV * nx * ny)
+    if c >= n:
+        return block(Sx, Sy, Sz)
+    k = -(-n // c)
+    Sx3 = _pad_rows(Sx, k * c).reshape(k, c, nx, _NDERIV)
+    Sy3 = _pad_rows(Sy, k * c).reshape(k, c, ny, _NDERIV)
+    Sz3 = _pad_rows(Sz, k * c).reshape(k, c, nz, _NDERIV)
+    out = jax.lax.map(lambda a: block(*a), (Sx3, Sy3, Sz3))
+    return out.reshape(k * c, len(_PHI_COMP))[:n]
+
+
 @functools.lru_cache(maxsize=None)
 def _dft_mats(n, inverse=False):
     """Dense DFT matrix (cos, sin parts) for one grid axis."""
@@ -358,6 +394,12 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
     sharded = use_kernels and mesh is not None and not use_bs
     bs_sharded = use_bs and mesh is not None
     bs_diag = {}
+    # triangular (symmetry-halved) kernels for the unsharded dense path:
+    # ~half the VPU pair-chain work, identical physics (the sharded path
+    # keeps the full grid - a triangular split would load-imbalance the
+    # row shards). MBPOL_ELEC_TRI=0 opts out.
+    use_tri = (use_kernels and not sharded and not use_bs
+               and os.environ.get('MBPOL_ELEC_TRI', '1') != '0')
 
     if use_bs:
         from mbpol_openmm_plugin_tpu.ops import elec_pallas_bs as bs
@@ -420,7 +462,9 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
             srow = elec_pallas.pack_sites(
                 positions, charges, d16_inv,
                 jnp.asarray(params.mol_index), jnp.asarray(params.atom_type == 0))
-            ef_direct, s3_dir, s5_dir = elec_pallas.fixed_field_and_scf_factors(
+            k1_fn = (elec_pallas.fixed_field_and_scf_factors_tri if use_tri
+                     else elec_pallas.fixed_field_and_scf_factors)
+            ef_direct, s3_dir, s5_dir = k1_fn(
                 setup, th, srow, n, interpret=interpret)
             if s3_dir.shape[0] != n:
                 s3_dir = s3_dir[:n, :n]
@@ -462,10 +506,9 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
     def fixed_grid_phi():
         grid = _spread_separable(setup, charges[:, None] * sx0, sy0, sz0)
         conv = _convolve(setup, grid, dtype, box=box)
-        return _readback_separable(conv, Sx, Sy, Sz)
+        return _readback_phi10(conv, Sx, Sy, Sz)
 
-    P_fixed = fixed_grid_phi()                            # [N,3,3,3] fractional derivs
-    phi = _phi10(P_fixed)                                 # [N,10]
+    phi = fixed_grid_phi()                                # [N,10]
 
     # ---- fixed field: reciprocal + direct + (no self for charges) ----
     efield = -pscale[None, :] * phi[:, 1:4]               # recordFixedElectrostaticsField
@@ -486,18 +529,20 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
         s5_dir = jnp.where(within, bn2 - (1.0 - s_dd[5]) * rr5c, 0.0)   # preFactor2
     self_term = (4.0 / 3.0) * alpha ** 3 / _SQRT_PI
 
-    def mu_recip_P(mu):
-        """Reciprocal-space spline tensor of the dipole grid (phid source)."""
+    def mu_recip_phi(mu):
+        """Reciprocal-space phi10 of the dipole grid. The three derivative
+        sources spread as ONE concatenated matmul (same FLOPs, one launch)."""
         smu = mu * pscale[None, :]
-        grid = (_spread_separable(setup, smu[:, 0:1] * sx1, sy0, sz0)
-                + _spread_separable(setup, smu[:, 1:2] * sx0, sy1, sz0)
-                + _spread_separable(setup, smu[:, 2:3] * sx0, sy0, sz1))
+        wx = jnp.concatenate([smu[:, 0:1] * sx1, smu[:, 1:2] * sx0,
+                              smu[:, 2:3] * sx0], axis=0)
+        sy = jnp.concatenate([sy0, sy1, sy0], axis=0)
+        sz = jnp.concatenate([sz0, sz0, sz1], axis=0)
+        grid = _spread_separable(setup, wx, sy, sz)
         conv = _convolve(setup, grid, dtype, box=box)
-        return _readback_separable(conv, Sx, Sy, Sz)
+        return _readback_phi10(conv, Sx, Sy, Sz)
 
     def extra_field(mu):
-        Pd = mu_recip_P(mu)
-        phid = _phi10(Pd)
+        phid = mu_recip_phi(mu)
         return -pscale[None, :] * phid[:, 1:4] + self_term * mu
 
     dipole_field = None
@@ -558,7 +603,9 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
             setup, th, srow, mu, n, mesh, interpret=interpret)
         forces = -f_elec * force_pair
     elif use_kernels:
-        e_direct, force_pair, pot = elec_pallas.direct_energy_force_pot(
+        k2_fn = (elec_pallas.direct_energy_force_pot_tri if use_tri
+                 else elec_pallas.direct_energy_force_pot)
+        e_direct, force_pair, pot = k2_fn(
             setup, th, srow, mu, n, interpret=interpret)
         forces = -f_elec * force_pair
     else:
@@ -603,8 +650,7 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
     pot = pot + phi[:, 0]
 
     # ---- reciprocal induced (cpp:2186-2265) ----
-    Pd = mu_recip_P(mu)
-    phid = _phi10(Pd)
+    phid = mu_recip_phi(mu)
     e_recip_ind = 0.5 * jnp.sum((mu * pscale[None, :]) * phi[:, 1:4])
     hess_fixed = phi[:, _HESS]                       # [N, 3(d), 3(k)]
     hess_ind = phid[:, _HESS]

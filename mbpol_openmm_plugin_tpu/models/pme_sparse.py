@@ -151,7 +151,7 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
 
     grid = pme_mod._spread_separable(setup, charges[:, None] * sx0, sy0, sz0)
     conv = pme_mod._convolve(setup, grid, dtype, box=dyn_box)
-    phi = pme_mod._phi10(pme_mod._readback_separable(conv, Sx, Sy, Sz))
+    phi = pme_mod._readback_phi10(conv, Sx, Sy, Sz)
     efield = (-pscale[None, :] * phi[:, 1:4]).reshape(nmol, 4, 3)
 
     # direct inter: kdir = bn1 - (s3cc - 1) rr3
@@ -177,7 +177,7 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
              + pme_mod._spread_separable(setup, smu[:, 1:2] * sx0, sy1, sz0)
              + pme_mod._spread_separable(setup, smu[:, 2:3] * sx0, sy0, sz1))
         c = pme_mod._convolve(setup, g, dtype, box=dyn_box)
-        return pme_mod._phi10(pme_mod._readback_separable(c, Sx, Sy, Sz))
+        return pme_mod._readback_phi10(c, Sx, Sy, Sz)
 
     def dipole_field(mu4):
         mua = mu4[ia]

@@ -287,6 +287,190 @@ def _pair_force_kernel(consts, n_sites, srow_ref, scol_ref, mrow_ref,
 
 
 # ----------------------------------------------------------------------
+# Triangular (symmetry-halved) kernels
+# ----------------------------------------------------------------------
+# Every per-pair quantity in the chain is symmetric under i<->j (bn*, rr*,
+# Thole scales, same_mol; the displacement d only flips sign), so computing
+# the full [N,N] pair grid does every pair's transcendental chain twice.
+# These variants run only tiles with j >= i and mask to the strict upper
+# triangle (ii < jj), accumulating BOTH the row-side (i) and column-side (j)
+# outputs of each pair:
+#   - row outputs ride the usual [TI, _NS] accumulator (finalized per row
+#     block at the last j step);
+#   - column outputs are written as per-(i,j) partial blocks of a
+#     [ni, _NS, np] output and reduced over i by XLA afterwards (tiny HBM:
+#     ni * 32 bytes per site; unique blocks, so no cross-step scratch and
+#     no dynamic-slice read-modify-write, which Mosaic lowers poorly);
+#   - the SCF factor matrices come out strictly upper-triangular and are
+#     symmetrized in XLA (S = U + U^T; the diagonal is identically zero
+#     because self pairs are masked).
+# Lower tiles are skipped via pl.when (their s3/s5 blocks are zero-filled).
+# At water256 (4x4 tiles) this removes 6/16 of the VPU pair-chain work; the
+# saving approaches 50% as N grows. Row-sharded (mesh) wrappers keep the
+# full-grid kernels: a triangular split would load-imbalance the shards.
+
+
+def _fixed_field_kernel_tri(consts, n_sites, srow_ref, scol_ref, ef_ref,
+                            colf_ref, s3_ref, s5_ref, acc_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < i)
+    def _():
+        s3_ref[:] = jnp.zeros_like(s3_ref)
+        s5_ref[:] = jnp.zeros_like(s5_ref)
+        colf_ref[:] = jnp.zeros_like(colf_ref)
+
+    @pl.when(j >= i)
+    def _():
+        srow = srow_ref[:]
+        scol = scol_ref[:]
+        t = _pair_chain(srow, scol, n_sites, consts)   # no cc1
+        ii = srow[:, _IDX:_IDX + 1]
+        jj = scol[_IDX:_IDX + 1, :]
+        tri = (ii < jj).astype(srow.dtype)
+
+        # strictly-upper SCF factors; full S = U + U^T on the host side
+        s3_ref[:] = ((1.0 - t['s_dd3']) * t['rr3c'] - t['bn1']) * tri
+        s5_ref[:] = (t['bn2'] - (1.0 - t['s_dd5']) * t['rr5c']) * tri
+
+        s3cc_eff = jnp.where(t['same_mol'], 2.0, t['s_cc3'])
+        kdir = (t['bn1'] - (s3cc_eff - 1.0) * t['rr3c']) * t['w'] * tri
+        qi = srow[:, _Q:_Q + 1]
+        qj = scol[_Q:_Q + 1, :]
+        kq = kdir * qj
+        acc_ref[:, 0:1] -= jnp.sum(kq * t['dx'], axis=1, keepdims=True)
+        acc_ref[:, 1:2] -= jnp.sum(kq * t['dy'], axis=1, keepdims=True)
+        acc_ref[:, 2:3] -= jnp.sum(kq * t['dz'], axis=1, keepdims=True)
+        # column side: field_j -= kdir q_i d_ji = +kdir q_i d_ij; written as
+        # this (i,j) block's partial, reduced over i by the caller
+        kqi = kdir * qi
+        colf_ref[0, 0:1, :] = jnp.sum(kqi * t['dx'], axis=0, keepdims=True)
+        colf_ref[0, 1:2, :] = jnp.sum(kqi * t['dy'], axis=0, keepdims=True)
+        colf_ref[0, 2:3, :] = jnp.sum(kqi * t['dz'], axis=0, keepdims=True)
+        colf_ref[0, 3:, :] = jnp.zeros_like(colf_ref[0, 3:, :])
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        ef_ref[:] = acc_ref[:]
+
+
+def _pair_force_kernel_tri(consts, n_sites, srow_ref, scol_ref, mrow_ref,
+                           mcol_ref, out_ref, colo_ref, acc_ref):
+    """Triangular direct-space energy/force/potential.
+
+    Row out cols: 0..2 force, 3 potential, 4 energy (each unordered pair
+    counted once). Column out rows: 0..2 force, 3 potential - written as
+    per-(i,j) partial blocks, reduced over i by the caller. The column
+    contributions follow from the i<->j swap of the pair terms (d -> -d,
+    dot_i -> -dot_j, dot_j -> -dot_i; every scale factor symmetric).
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < i)
+    def _():
+        colo_ref[:] = jnp.zeros_like(colo_ref)
+
+    @pl.when(j >= i)
+    def _():
+        srow = srow_ref[:]
+        scol = scol_ref[:]
+        t = _pair_chain(srow, scol, n_sites, consts, need_cc1=True)
+        ii = srow[:, _IDX:_IDX + 1]
+        jj = scol[_IDX:_IDX + 1, :]
+        wt = t['w'] * (ii < jj).astype(srow.dtype)
+
+        qi = srow[:, _Q:_Q + 1]
+        qj = scol[_Q:_Q + 1, :]
+        mxi, myi, mzi = mrow_ref[:, 0:1], mrow_ref[:, 1:2], mrow_ref[:, 2:3]
+        mxj, myj, mzj = mcol_ref[0:1, :], mcol_ref[1:2, :], mcol_ref[2:3, :]
+
+        dx, dy, dz = t['dx'], t['dy'], t['dz']
+        dot_i = mxi * dx + myi * dy + mzi * dz
+        dot_j = mxj * dx + myj * dy + mzj * dz
+        qq = qi * qj
+        gli1 = qj * dot_i - qi * dot_j
+        mumu = mxi * mxj + myi * myj + mzi * mzj
+
+        sm = t['same_mol']
+        s1cc_e = jnp.where(sm, 0.0, t['s_cc1'])
+        s3cd_e = jnp.where(sm, 0.0, t['s_cd3'])
+        s3cc_f = jnp.where(sm, 0.0, t['s_cc3'])
+        s5cd_f = jnp.where(sm, 0.0, t['s_cd5'])
+
+        # energy: once per unordered pair (e_pair is i<->j symmetric)
+        e_pair = (t['bn0'] - t['rr1c'] * (1.0 - s1cc_e)) * qq \
+            + 0.5 * (t['bn1'] - t['rr3c'] * (1.0 - s3cd_e)) * gli1
+        acc_ref[:, 4:5] += jnp.sum(e_pair * wt, axis=1, keepdims=True)
+
+        coeff = ((t['bn1'] - (1.0 - s3cc_f) * t['rr3c']) * qq
+                 + (t['bn2'] - t['rr5c'] * (1.0 - s5cd_f)) * gli1
+                 + (t['bn2'] - t['rr5c'] * (1.0 - t['s_dd5'])) * mumu
+                 - (t['bn3'] - t['rr7c'] * (1.0 - t['s_dd7']))
+                 * (dot_i * dot_j)) * wt
+        w5 = (t['bn2'] - t['rr5c'] * (1.0 - t['s_dd5'])) * wt
+        w3 = (t['bn1'] - t['rr3c'] * (1.0 - s3cd_e)) * wt
+        k1 = (t['bn0'] - t['rr1c'] * (1.0 - s1cc_e)) * wt
+
+        # row side (force on i from pairs j > i)
+        fx = jnp.sum(coeff * dx, axis=1, keepdims=True)
+        fy = jnp.sum(coeff * dy, axis=1, keepdims=True)
+        fz = jnp.sum(coeff * dz, axis=1, keepdims=True)
+        s5dj = jnp.sum(w5 * dot_j, axis=1, keepdims=True)
+        w5di = w5 * dot_i
+        fx = fx + mxi * s5dj + jnp.sum(w5di * mxj, axis=1, keepdims=True)
+        fy = fy + myi * s5dj + jnp.sum(w5di * myj, axis=1, keepdims=True)
+        fz = fz + mzi * s5dj + jnp.sum(w5di * mzj, axis=1, keepdims=True)
+        w3q = jnp.sum(w3 * qj, axis=1, keepdims=True)
+        fx = fx + qi * jnp.sum(w3 * mxj, axis=1, keepdims=True) - mxi * w3q
+        fy = fy + qi * jnp.sum(w3 * myj, axis=1, keepdims=True) - myi * w3q
+        fz = fz + qi * jnp.sum(w3 * mzj, axis=1, keepdims=True) - mzi * w3q
+        acc_ref[:, 0:1] += fx
+        acc_ref[:, 1:2] += fy
+        acc_ref[:, 2:3] += fz
+        acc_ref[:, 3:4] += (jnp.sum(k1 * qj, axis=1, keepdims=True)
+                            - jnp.sum(w3 * dot_j, axis=1, keepdims=True))
+
+        # column side (force/potential on j from pairs i < j)
+        c_w5di = jnp.sum(w5 * dot_i, axis=0, keepdims=True)
+        c_w3qi = jnp.sum(w3 * qi, axis=0, keepdims=True)
+        cfx = (-jnp.sum(coeff * dx, axis=0, keepdims=True)
+               - mxj * c_w5di
+               - jnp.sum(w5 * dot_j * mxi, axis=0, keepdims=True)
+               + qj * jnp.sum(w3 * mxi, axis=0, keepdims=True)
+               - mxj * c_w3qi)
+        cfy = (-jnp.sum(coeff * dy, axis=0, keepdims=True)
+               - myj * c_w5di
+               - jnp.sum(w5 * dot_j * myi, axis=0, keepdims=True)
+               + qj * jnp.sum(w3 * myi, axis=0, keepdims=True)
+               - myj * c_w3qi)
+        cfz = (-jnp.sum(coeff * dz, axis=0, keepdims=True)
+               - mzj * c_w5di
+               - jnp.sum(w5 * dot_j * mzi, axis=0, keepdims=True)
+               + qj * jnp.sum(w3 * mzi, axis=0, keepdims=True)
+               - mzj * c_w3qi)
+        colo_ref[0, 0:1, :] = cfx
+        colo_ref[0, 1:2, :] = cfy
+        colo_ref[0, 2:3, :] = cfz
+        colo_ref[0, 3:4, :] = (jnp.sum(k1 * qi, axis=0, keepdims=True)
+                               + jnp.sum(w3 * dot_i, axis=0, keepdims=True))
+        colo_ref[0, 4:, :] = jnp.zeros_like(colo_ref[0, 4:, :])
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+# ----------------------------------------------------------------------
 # Host-side wrappers
 # ----------------------------------------------------------------------
 
@@ -367,6 +551,82 @@ def fixed_field_and_scf_factors(setup, thole, srow, n_sites, interpret=False):
             bytes_accessed=2 * np_ * np_ * 4),
     )(srow, srow.T)
     return ef[:n_sites, :3], s3, s5
+
+
+def fixed_field_and_scf_factors_tri(setup, thole, srow, n_sites,
+                                    interpret=False):
+    """Triangular K1: (efield [n,3], s3 [np,np], s5 [np,np]).
+
+    Half the pair-chain work of `fixed_field_and_scf_factors`; identical
+    physics (the SCF factor matrices are symmetrized from the strict upper
+    triangle, the field adds the row- and column-side accumulations)."""
+    np_ = srow.shape[0]
+    consts = _consts(setup, thole)
+    grid = (np_ // TI, np_ // TJ)
+    kern = functools.partial(_fixed_field_kernel_tri, consts, n_sites)
+    ni = np_ // TI
+    ef, colf, s3u, s5u = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((np_, _NS), srow.dtype),
+                   jax.ShapeDtypeStruct((ni, _NS, np_), srow.dtype),
+                   jax.ShapeDtypeStruct((np_, np_), srow.dtype),
+                   jax.ShapeDtypeStruct((np_, np_), srow.dtype)],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TI, _NS), lambda i, j: (i, 0)),
+            pl.BlockSpec((_NS, TJ), lambda i, j: (0, j)),
+        ],
+        out_specs=[pl.BlockSpec((TI, _NS), lambda i, j: (i, 0)),
+                   pl.BlockSpec((1, _NS, TJ), lambda i, j: (i, 0, j)),
+                   pl.BlockSpec((TI, TJ), lambda i, j: (i, j)),
+                   pl.BlockSpec((TI, TJ), lambda i, j: (i, j))],
+        scratch_shapes=[pltpu.VMEM((TI, _NS), srow.dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=160 * np_ * np_, transcendentals=4 * np_ * np_,
+            bytes_accessed=2 * np_ * np_ * 4),
+    )(srow, srow.T)
+    s3 = s3u + s3u.T
+    s5 = s5u + s5u.T
+    colf2 = jnp.sum(colf, axis=0)
+    field = ef[:n_sites, :3] + colf2[:3, :n_sites].T
+    return field, s3, s5
+
+
+def direct_energy_force_pot_tri(setup, thole, srow, mu, n_sites,
+                                interpret=False):
+    """Triangular K2: (e_direct scalar, force [n,3], pot [n]). Half the
+    pair-chain work of `direct_energy_force_pot`; identical physics."""
+    np_ = srow.shape[0]
+    consts = _consts(setup, thole)
+    mrow = jnp.zeros((np_, _NS), srow.dtype).at[:n_sites, :3].set(mu)
+    grid = (np_ // TI, np_ // TJ)
+    kern = functools.partial(_pair_force_kernel_tri, consts, n_sites)
+    ni = np_ // TI
+    out, colo = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((np_, _NS), srow.dtype),
+                   jax.ShapeDtypeStruct((ni, _NS, np_), srow.dtype)],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TI, _NS), lambda i, j: (i, 0)),
+            pl.BlockSpec((_NS, TJ), lambda i, j: (0, j)),
+            pl.BlockSpec((TI, _NS), lambda i, j: (i, 0)),
+            pl.BlockSpec((_NS, TJ), lambda i, j: (0, j)),
+        ],
+        out_specs=[pl.BlockSpec((TI, _NS), lambda i, j: (i, 0)),
+                   pl.BlockSpec((1, _NS, TJ), lambda i, j: (i, 0, j))],
+        scratch_shapes=[pltpu.VMEM((TI, _NS), srow.dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=220 * np_ * np_, transcendentals=4 * np_ * np_,
+            bytes_accessed=2 * np_ * np_ * 4),
+    )(srow, srow.T, mrow, mrow.T)
+    colo2 = jnp.sum(colo, axis=0)
+    e = jnp.sum(out[:n_sites, 4])
+    force = out[:n_sites, :3] + colo2[:3, :n_sites].T
+    pot = out[:n_sites, 3] + colo2[3, :n_sites]
+    return e, force, pot
 
 
 def padded_for_mesh(n, n_devices):

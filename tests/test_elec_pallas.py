@@ -68,6 +68,65 @@ def test_special_function_fits():
                                atol=1e-6)
 
 
+def test_triangular_kernels_match_full(water50_pme):
+    """Symmetry-halved kernels (j >= i tiles + upper-triangle masking) must
+    reproduce the full-grid kernels: s3/s5 bitwise-symmetrizable, field/
+    energy/forces/potential equal up to f64 summation order."""
+    from mbpol_openmm_plugin_tpu.ops import elec_pallas as EP
+
+    pot, pos_v = water50_pme
+    params, setup = pot.elec_params, pot.pme
+    from mbpol_openmm_plugin_tpu.models.electrostatics import assemble_charges
+    charges, _ = assemble_charges(params, pos_v)
+    d16_inv = jnp.asarray(np.asarray(params.damping) ** (-1.0 / 6.0),
+                          pos_v.dtype)
+    srow = EP.pack_sites(pos_v, charges, d16_inv,
+                         jnp.asarray(params.mol_index),
+                         jnp.asarray(params.atom_type == 0))
+    n = pos_v.shape[0]
+    th = params.thole
+
+    ef1, s3a, s5a = EP.fixed_field_and_scf_factors(setup, th, srow, n,
+                                                   interpret=True)
+    ef2, s3b, s5b = EP.fixed_field_and_scf_factors_tri(setup, th, srow, n,
+                                                       interpret=True)
+    # the strict-upper entries are computed identically (all pair factors
+    # are bitwise i<->j symmetric), so symmetrization reproduces S exactly
+    np.testing.assert_allclose(np.asarray(s3b), np.asarray(s3a), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(s5b), np.asarray(s5a), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ef2), np.asarray(ef1),
+                               rtol=1e-12, atol=1e-10)
+
+    mu = 0.01 * jnp.sin(jnp.arange(3 * srow.shape[0], dtype=srow.dtype)
+                        ).reshape(-1, 3)[:n]
+    e1, f1, p1 = EP.direct_energy_force_pot(setup, th, srow, mu, n,
+                                            interpret=True)
+    e2, f2, p2 = EP.direct_energy_force_pot_tri(setup, th, srow, mu, n,
+                                                interpret=True)
+    np.testing.assert_allclose(float(e2), float(e1), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_triangular_pipeline_matches_full(water50_pme):
+    """End-to-end PME electrostatics with MBPOL_ELEC_TRI on vs off."""
+    pot, pos_v = water50_pme
+    os.environ['MBPOL_ELEC_PALLAS'] = 'interpret'
+    try:
+        os.environ['MBPOL_ELEC_TRI'] = '0'
+        e1, f1, d1 = pme_mod.pme_electrostatics(pot.elec_params, pot.pme, pos_v)
+        os.environ['MBPOL_ELEC_TRI'] = '1'
+        e2, f2, d2 = pme_mod.pme_electrostatics(pot.elec_params, pot.pme, pos_v)
+    finally:
+        os.environ.pop('MBPOL_ELEC_PALLAS', None)
+        os.environ.pop('MBPOL_ELEC_TRI', None)
+    np.testing.assert_allclose(float(e2), float(e1), rtol=1e-10, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-8)
+    assert int(d2['iterations']) == int(d1['iterations'])
+
+
 def test_block_sparse_kernels_match_xla_path(water50_pme):
     """Block-sparse kernels (ops/elec_pallas_bs.py) vs the dense XLA path,
     interpret mode. water50 pads to one 256-site tile; the multi-tile and
