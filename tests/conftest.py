@@ -22,3 +22,12 @@ import jax  # noqa: E402
 if not _ON_TPU:
     jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+
+# The suite's wall time is dominated by XLA CPU compiles of the big jitted
+# programs (REMD ladders, RESPA scans, PME pipelines), most of which are
+# identical across runs. The persistent cache keys on the optimized HLO, so
+# it is safe across source changes and cuts a full re-run severalfold.
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                 '/tmp/mbpol_jax_cache_tests'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
