@@ -385,8 +385,13 @@ def _respa_figure(n_inner=2):
                                   nlist_skin=0.02))
     pot.tune_capacities(pos)
     dt_outer = DT_FS * 1e-3 * n_inner        # 0.2 fs inner, scaled outer
+    # 'auto' neighbor rebuilds: without it every outer step pays a full
+    # on-device pair+triplet list build inside the slow evaluation
+    # (measured: 108 -> ~300 outer steps/s on the tunneled v5e)
     sim = Simulation(pot, SimulationConfig(dt=dt_outer, temperature=None,
-                                           respa_inner=n_inner), seed=0)
+                                           respa_inner=n_inner,
+                                           nlist_rebuild_interval='auto'),
+                     seed=0)
     sim.set_positions(pos)
     sim.set_velocities_to_temperature(300.0)
     n = int(os.environ.get('BENCH_RESPA_STEPS', 100))

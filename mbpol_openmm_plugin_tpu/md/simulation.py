@@ -51,10 +51,17 @@ class SimulationConfig:
     # SCF warm start: seed each step's induced-dipole iteration with the
     # previous step's dipoles (same converged fixed point, fewer iterations).
     scf_warm_start: bool = True
-    # rebuild the padded neighbor lists every k steps instead of every step
-    # (requires the potential's nlist_skin > 0 to be exact; with skin 0 the
-    # lists are rebuilt every step, matching the reference).
-    nlist_rebuild_interval: int = 1
+    # Neighbor-list rebuild policy inside a chunk:
+    #   k >= 1  - rebuild every k steps (k = 1 rebuilds every evaluation,
+    #             matching the reference's rebuild-every-call; k > 1 requires
+    #             nlist_skin sized to cover k steps of O drift to stay exact);
+    #   'auto'  - on-device displacement-triggered: the scan carries the
+    #             lists + their build positions and a lax.cond rebuilds when
+    #             twice the max O displacement since the last build exceeds
+    #             half the skin. Exact list validity at every step, zero host
+    #             syncs, no interval tuning (the headline bench.py policy);
+    #             requires nlist_skin > 0.
+    nlist_rebuild_interval: object = 1
     # r-RESPA multiple timestepping (OpenMM MTSIntegrator role): dt becomes
     # the OUTER step for the expensive intermolecular terms (PIPs,
     # polarization/PME, dispersion); the cheap Partridge-Schwenke monomer
@@ -108,16 +115,41 @@ class Simulation:
     def _health(self, diag):
         return health_flag(diag)
 
-    def _one_step(self, state, mu=None, nlists=None):
+    def _auto_rebuild(self, nl_carry, p, box, pot=None):
+        """Displacement-triggered on-device list rebuild: lax.cond reruns the
+        jittable build when twice the max O displacement since the last build
+        exceeds half the skin (the lists key on O-O distances only, so O
+        drift bounds their staleness) - exact validity every step, zero host
+        syncs. nl_carry = (nlists, build_positions)."""
+        from mbpol_openmm_plugin_tpu.system import make_molecules_whole
+        pot = pot or self.potential
+        nl, pb = nl_carry
+        o_idx = np.asarray(self.system.o_index)
+        skin = pot.config.nlist_skin
+
+        def rebuild():
+            pl, tl, _ = pot._neighbor_lists(
+                make_molecules_whole(self.system, p, box=box), box=box)
+            return (pl, tl), p
+
+        disp = jnp.max(jnp.linalg.norm(p[o_idx] - pb[o_idx], axis=-1))
+        return jax.lax.cond(2.0 * disp > 0.5 * skin, rebuild,
+                            lambda: (nl, pb))
+
+    def _one_step(self, state, mu=None, nlists=None, nl_carry=None):
         cfg = self.config
         # with a barostat the box is dynamic state; otherwise it is static
         box = state.box if cfg.barostat_pressure is not None else None
 
-        aux = [mu, jnp.ones((), bool)]
+        aux = [mu, jnp.ones((), bool), nl_carry]
 
         def ef2(p):
+            nl = nlists
+            if nl_carry is not None:
+                aux[2] = self._auto_rebuild(nl_carry, p, box)
+                nl = aux[2][0]
             e, f, parts, diag = self.potential._energy_forces_impl(
-                p, mu if cfg.scf_warm_start else None, nlists=nlists, box=box)
+                p, mu if cfg.scf_warm_start else None, nlists=nl, box=box)
             aux[0] = diag.get('induced_dipoles')
             aux[1] = self._health(diag)
             return e, f
@@ -130,7 +162,7 @@ class Simulation:
             if cfg.temperature is not None and cfg.thermostat == 'andersen':
                 state = I.andersen_thermostat(self.system, state, cfg.dt,
                                               cfg.temperature, cfg.collision_frequency)
-        return state, aux[0], aux[1]
+        return state, aux[0], aux[1], aux[2]
 
     def _respa_split(self):
         """(ef_fast, pot_slow) for r-RESPA, built once. Fast = the one-body
@@ -143,17 +175,22 @@ class Simulation:
             self._respa = (ef_intra, ef_inter._potential)
         return self._respa
 
-    def _one_step_respa(self, state, mu, f_slow, nlists=None):
-        """One r-RESPA outer step. Returns (state', mu', f_slow', health)."""
+    def _one_step_respa(self, state, mu, f_slow, nlists=None, nl_carry=None):
+        """One r-RESPA outer step.
+        Returns (state', mu', f_slow', health, nl_carry')."""
         cfg = self.config
         ef_intra, pot_slow = self._respa_split()
         box = state.box if cfg.barostat_pressure is not None else None
 
-        aux = [mu, jnp.ones((), bool)]
+        aux = [mu, jnp.ones((), bool), nl_carry]
 
         def ef_slow(p):
+            nl = nlists
+            if nl_carry is not None:
+                aux[2] = self._auto_rebuild(nl_carry, p, box, pot=pot_slow)
+                nl = aux[2][0]
             e, f, parts, diag = pot_slow._energy_forces_impl(
-                p, mu if cfg.scf_warm_start else None, nlists=nlists, box=box)
+                p, mu if cfg.scf_warm_start else None, nlists=nl, box=box)
             aux[0] = diag.get('induced_dipoles')
             aux[1] = self._health(diag)
             return e, f
@@ -173,12 +210,17 @@ class Simulation:
                 state = I.andersen_thermostat(self.system, state, cfg.dt,
                                               cfg.temperature,
                                               cfg.collision_frequency)
-        return state, aux[0], f_slow, aux[1]
+        return state, aux[0], f_slow, aux[1], aux[2]
 
     def _step_chunk_impl(self, state, baro, n_steps):
         cfg = self.config
-        reuse = max(int(cfg.nlist_rebuild_interval), 1)
         use_nl = self.potential.use_neighbor_lists
+        auto_nl = use_nl and cfg.nlist_rebuild_interval == 'auto'
+        if auto_nl and not self.potential.config.nlist_skin > 0:
+            raise ValueError(
+                "nlist_rebuild_interval='auto' requires nlist_skin > 0 "
+                "(the displacement trigger compares O drift against the skin)")
+        reuse = 1 if auto_nl else max(int(cfg.nlist_rebuild_interval), 1)
         warm = cfg.scf_warm_start and self.potential.elec_params is not None
         # ASPC closure (potential scf_method='aspc'): the scan carries the
         # last k+2 corrected dipole sets and feeds the B_j-weighted
@@ -195,8 +237,14 @@ class Simulation:
 
         def scan_group(state, mu, n):
             nlists = None
+            nlc = None
             box = state.box if cfg.barostat_pressure is not None else None
-            if use_nl and reuse > 1:
+            if auto_nl:
+                # entry build; the scan carries (lists, build positions) and
+                # each step's evaluation rebuilds on displacement (lax.cond)
+                pl, tl, _ = pot_nl._neighbor_lists(state.positions, box=box)
+                nlc = ((pl, tl), state.positions)
+            elif use_nl and reuse > 1:
                 pl, tl, _ = pot_nl._neighbor_lists(state.positions, box=box)
                 nlists = (pl, tl)
 
@@ -207,7 +255,7 @@ class Simulation:
                 mu_seed = mu[0] if (aspc and mu is not None) else mu
                 _, f_slow, _, _ = self._respa_split()[1]._energy_forces_impl(
                     state.positions, mu_seed if warm else None,
-                    nlists=nlists, box=box)
+                    nlists=nlc[0] if auto_nl else nlists, box=box)
 
             def body(carry, _):
                 # HOT PATH: the only per-step scan output is the potential
@@ -218,25 +266,27 @@ class Simulation:
                 # while_loop or an extra reduction breaks overlap). The
                 # unused health value below is dead-code-eliminated by XLA;
                 # health is instead checked at report boundaries (step()).
-                s, m, fs = carry
+                s, m, fs, nc = carry
                 if aspc:
                     mu0 = jnp.einsum('h,hnd->nd', B, m)
                     if respa:
-                        s, mu_new, fs, _ok = self._one_step_respa(s, mu0, fs, nlists)
+                        s, mu_new, fs, _ok, nc = self._one_step_respa(
+                            s, mu0, fs, nlists, nc)
                     else:
-                        s, mu_new, _ok = self._one_step(s, mu0, nlists)
+                        s, mu_new, _ok, nc = self._one_step(s, mu0, nlists, nc)
                     m = jnp.roll(m, 1, axis=0).at[0].set(mu_new)
                 elif respa:
-                    s, mu_new, fs, _ok = self._one_step_respa(s, m, fs, nlists)
+                    s, mu_new, fs, _ok, nc = self._one_step_respa(
+                        s, m, fs, nlists, nc)
                     # cold runs carry mu=None; keep the scan carry structure
                     m = mu_new if warm else None
                 else:
-                    s, mu_new, _ok = self._one_step(s, m, nlists)
+                    s, mu_new, _ok, nc = self._one_step(s, m, nlists, nc)
                     m = mu_new if warm else None
-                return (s, m, fs), s.potential_energy
+                return (s, m, fs, nc), s.potential_energy
 
-            (state, mu, _), pes = jax.lax.scan(body, (state, mu, f_slow),
-                                               None, length=n)
+            (state, mu, _, _), pes = jax.lax.scan(
+                body, (state, mu, f_slow, nlc), None, length=n)
             return state, mu, pes
 
         mu = None

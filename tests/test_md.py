@@ -217,3 +217,64 @@ def test_barostat_scale_adaptation():
          jnp.asarray(9, jnp.int32))
     b = I.barostat_scale_update(b, jnp.asarray(True), vol)
     assert float(b[0]) == pytest.approx(0.3 * 8.0)
+
+
+def test_auto_nlist_rebuild_matches_every_step():
+    """nlist_rebuild_interval='auto' (on-device displacement-triggered
+    rebuild carried through the scan) must reproduce the rebuild-every-step
+    trajectory: with a skin, lists built at the trigger positions are a
+    superset of the physical lists at every step in between, so the physics
+    is exact (f64 CPU: bitwise differences only via padded-list ordering)."""
+    sys_, pos = fixtures.load_system('water50', box=[1.8, 1.8, 1.8])
+    pots = [MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
+                                    target_epsilon=1e-7, nlist_skin=0.03))
+            for _ in range(2)]
+    sims = []
+    for pot, policy in zip(pots, [1, 'auto']):
+        pot.tune_capacities(jnp.asarray(pos))
+        sim = Simulation(pot, SimulationConfig(
+            dt=0.0002, nlist_rebuild_interval=policy), seed=3)
+        sim.set_positions(pos)
+        sim.set_velocities_to_temperature(200.0)
+        sims.append(sim)
+    m_ref = sims[0].step(30)
+    m_auto = sims[1].step(30)
+    np.testing.assert_allclose(np.asarray(sims[1].state.positions),
+                               np.asarray(sims[0].state.positions),
+                               atol=1e-9)
+    np.testing.assert_allclose(m_auto['total_energy'], m_ref['total_energy'],
+                               atol=1e-6)
+
+
+def test_auto_nlist_rebuild_respa():
+    """'auto' rebuilds compose with r-RESPA (the slow-potential evaluations
+    carry the lists); trajectory matches the every-step-rebuild RESPA run."""
+    sys_, pos = fixtures.load_system('water50', box=[1.8, 1.8, 1.8])
+    sims = []
+    for policy in [1, 'auto']:
+        pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
+                                      target_epsilon=1e-7, nlist_skin=0.03))
+        pot.tune_capacities(jnp.asarray(pos))
+        sim = Simulation(pot, SimulationConfig(
+            dt=0.0004, respa_inner=2, nlist_rebuild_interval=policy), seed=3)
+        sim.set_positions(pos)
+        sim.set_velocities_to_temperature(200.0)
+        sims.append(sim)
+    m_ref = sims[0].step(15)
+    m_auto = sims[1].step(15)
+    np.testing.assert_allclose(np.asarray(sims[1].state.positions),
+                               np.asarray(sims[0].state.positions),
+                               atol=1e-9)
+    np.testing.assert_allclose(m_auto['total_energy'], m_ref['total_energy'],
+                               atol=1e-6)
+
+
+def test_auto_nlist_requires_skin():
+    sys_, pos = fixtures.load_system('water50', box=[1.8, 1.8, 1.8])
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
+                                  nlist_skin=0.0))
+    sim = Simulation(pot, SimulationConfig(nlist_rebuild_interval='auto'))
+    sim.set_positions(pos)
+    import pytest
+    with pytest.raises(ValueError, match='auto'):
+        sim.step(2)
