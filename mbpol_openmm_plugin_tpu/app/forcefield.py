@@ -171,7 +171,7 @@ class ForceField:
     def createSystem(self, topology, nonbondedMethod=NoCutoff,
                      nonbondedCutoff=1.0 * unit.nanometer,
                      ewaldErrorTolerance=1e-4, hydrogenMass=None,
-                     isotope='H2O', **kwargs):
+                     isotope='H2O', removeCMMotion=True, **kwargs):
         if nonbondedMethod == CutoffPeriodic and self.has_electrostatics:
             # Reference parity: the electrostatics generator's methodMap has
             # no CutoffPeriodic entry and raises (reference python/mbpol.py:
@@ -213,6 +213,18 @@ class ForceField:
                 raise ValueError(f'hydrogenMass={h_mass} amu leaves the '
                                  'oxygen with non-positive mass')
             sys_ = _dc.replace(sys_, masses=masses)
+        if self.has_electrostatics and sys_.n_ions:
+            # fail at createSystem, not when the potential is first built:
+            # mbpol.xml:22-27 defines electrostatics parameters for water
+            # only (ions appear only in the dispersion tables), so the full
+            # force field cannot cover an ion-containing topology - use the
+            # dispersion-only customdispersion.xml, or a ForceField whose
+            # electrostatics generator is absent, for water+ion systems
+            raise ValueError(
+                f'topology contains {sys_.n_ions} ion(s) but the MB-pol '
+                'force field defines electrostatics parameters for water '
+                'only (mbpol.xml:22-27); use customdispersion.xml or '
+                'remove the ion')
         forces = []
         if self.has_electrostatics:
             forces.append(_Force('electrostatics'))
@@ -222,7 +234,12 @@ class ForceField:
             forces.append(_Force('two_body'))
         if self.has_three_body:
             forces.append(_Force('three_body'))
-        forces.append(_Force('cm_motion'))
+        if removeCMMotion:
+            # OpenMM createSystem default: a CMMotionRemover in the force
+            # list (reference force order, TestReferenceMBPolTwoBodyForce
+            # .py:28-39); the app Simulation maps the tag to
+            # SimulationConfig.cm_motion_interval=1
+            forces.append(_Force('cm_motion'))
         if self.has_dispersion:
             forces.append(_Force('dispersion'))
 

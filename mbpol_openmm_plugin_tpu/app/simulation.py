@@ -302,6 +302,8 @@ class Simulation:
             cfg.barostat_pressure = baro[0].params['pressure']
             cfg.barostat_interval = baro[0].params['frequency']
         cfg.respa_inner = getattr(integrator, 'respa_inner', 1)
+        if system.find_forces('cm_motion'):
+            cfg.cm_motion_interval = 1     # OpenMM CMMotionRemover default
         self._dt = integrator.dt
 
         mb_cfg = MBPolConfig(

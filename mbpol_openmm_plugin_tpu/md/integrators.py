@@ -117,6 +117,69 @@ def respa_velocity_verlet_step(system: System, ef_fast, ef_slow,
     return state, f_slow, f_fast
 
 
+def respa3_velocity_verlet_step(system: System, ef_fast, ef_mid, ef_slow,
+                                state: MDState, f_mid, f_slow, dt,
+                                n_mid: int, n_inner: int):
+    """One three-level r-RESPA step (Tuckerman-Berne-Martyna splitting).
+
+    The outer step `dt` kicks with the SLOWEST forces (by default the
+    three-body PIP term - ~45% of an MB-pol evaluation, varying on
+    intermolecular timescales); `n_mid` middle sub-steps at dt/n_mid kick
+    with the MID forces (2b + dispersion + polarization/PME); each middle
+    sub-step runs `n_inner` velocity-Verlet steps at dt/(n_mid*n_inner)
+    on the FAST forces (the Partridge-Schwenke monomer term whose
+    ~3700 cm^-1 OH stretch pins the base timestep). Symplectic:
+    exp(dt/2 L_s) [exp(dtm/2 L_m) [VV_fast]^n_i exp(dtm/2 L_m)]^n_m
+    exp(dt/2 L_s). This is the standard next level beyond the reference's
+    single-timestep Verlet (SURVEY 3.4): the recip/3-body terms already
+    live on separate code paths there
+    (MBPolReferencePmeElectrostaticsForce.cpp:2113-2265 vs :2510-2716).
+
+    `f_mid`/`f_slow` must be those forces at state.positions (carried
+    across steps: one slow + n_mid mid evaluations per outer step).
+    Returns (state', f_mid', f_slow', f_fast') with state'.forces the
+    total and potential_energy the full fast+mid+slow PE at the new
+    positions."""
+    inv_m = _inv_masses(system, state.positions.dtype)
+    dtm = dt / n_mid
+    dti = dtm / n_inner
+    v = state.velocities + 0.5 * dt * f_slow * inv_m
+    _, f_fast = ef_fast(state.positions)
+    pos = state.positions
+
+    def inner(c, _):
+        pos, v, f_fast = c
+        v = v + 0.5 * dti * f_fast * inv_m
+        pos = pos + dti * v
+        e_fast, f_fast = ef_fast(pos)
+        v = v + 0.5 * dti * f_fast * inv_m
+        return (pos, v, f_fast), e_fast
+
+    # the middle loop is a static Python unroll (n_mid is small, 2-3), NOT
+    # a lax.scan: ef_mid closures from the Simulation driver thread
+    # trace-time aux state (SCF dipole history, health flags, the
+    # displacement-triggered list-rebuild carry) through Python mutation,
+    # which is only sound when every call happens sequentially in the same
+    # trace - a scanned body would capture stale tracers
+    e_fast_last = None
+    e_mid = None
+    for _ in range(n_mid):
+        v = v + 0.5 * dtm * f_mid * inv_m
+        (pos, v, f_fast), e_fasts = jax.lax.scan(
+            inner, (pos, v, f_fast), None, length=n_inner)
+        e_fast_last = e_fasts[-1]
+        e_mid, f_mid = ef_mid(pos)
+        v = v + 0.5 * dtm * f_mid * inv_m
+    e_slow, f_slow = ef_slow(pos)
+    v = v + 0.5 * dt * f_slow * inv_m
+    state = dataclasses.replace(
+        state, positions=pos, velocities=v,
+        forces=f_fast + f_mid + f_slow,
+        potential_energy=e_fast_last + e_mid + e_slow,
+        step=state.step + 1)
+    return state, f_mid, f_slow, f_fast
+
+
 def respa_langevin_step(system: System, ef_fast, ef_slow, state: MDState,
                         f_slow, dt, n_inner: int, temperature_k, friction):
     """BAOAB-RESPA Langevin step: outer half-kicks with the slow forces
@@ -155,6 +218,20 @@ def respa_langevin_step(system: System, ef_fast, ef_slow, state: MDState,
         state, positions=pos, velocities=v, forces=f_slow + f_fast,
         potential_energy=e_slow + e_fasts[-1], step=state.step + 1, rng=key)
     return state, f_slow, f_fast
+
+
+def remove_cm_motion(system: System, velocities):
+    """OpenMM CMMotionRemover semantics: subtract the mass-weighted
+    center-of-mass velocity from every massful particle (massless M sites
+    keep their zero velocities). The reference force list includes
+    CMMotionRemover (python/tests/TestReferenceMBPolTwoBodyForce.py:28-39,
+    force order elec/one/two/three/CMMotionRemover/CustomDispersion); here
+    it is a pure function applied inside the scan every
+    `cm_motion_interval` steps - without it, f32 force rounding accumulates
+    a slow COM drift over long NVE runs."""
+    m = jnp.asarray(system.masses, velocities.dtype)[:, None]
+    v_cm = jnp.sum(m * velocities, axis=0) / jnp.sum(m)
+    return jnp.where(m > 0, velocities - v_cm, velocities)
 
 
 def andersen_thermostat(system: System, state: MDState, dt, temperature_k,

@@ -437,13 +437,12 @@ def mbpol_intra_inter_split(potential):
     pot_inter = (MBPol(sys_, _dc.replace(cfg, terms=inter_terms),
                        mesh=potential.mesh)
                  if has_one_body else potential)
-    # inherit the parent's tuned padded-list capacities (tune_capacities
-    # state; a fresh MBPol would fall back to the conservative analytic
-    # bounds and waste 2-3x on oversized pair/triplet batches)
-    for attr in ('pair_cap', 'trip_cap', 'pair_eval_cap', 'trip_eval_cap',
-                 'elec_pair_cap', '_block_info', 'nlist_k_max', 'nlist_kt'):
-        if hasattr(potential, attr):
-            setattr(pot_inter, attr, getattr(potential, attr))
+    if pot_inter is not potential:
+        # inherit the parent's tuned padded-list capacities (tune_capacities
+        # state; a fresh MBPol would fall back to the conservative analytic
+        # bounds and waste 2-3x on oversized pair/triplet batches)
+        from mbpol_openmm_plugin_tpu.models.potential import inherit_capacities
+        inherit_capacities(potential, pot_inter)
 
     def e_intra(p, box=None):
         # image hydrogens next to their O exactly like the full potential

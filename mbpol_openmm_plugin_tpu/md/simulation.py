@@ -51,6 +51,18 @@ class SimulationConfig:
     # SCF warm start: seed each step's induced-dipole iteration with the
     # previous step's dipoles (same converged fixed point, fewer iterations).
     scf_warm_start: bool = True
+    # Dynamics SCF closure:
+    #   'auto' (default) - if the potential carries the reference-default
+    #     SOR loop, derive an ASPC variant for the trajectory: the loosely
+    #     converged SOR loop is measurably DISSIPATIVE in NVE (-109 kJ/mol
+    #     per 1000 steps / 0.2 ps at water256, bench r2) while the Kolafa
+    #     predictor-corrector closure is near-conservative (+10 kJ/mol) AND
+    #     faster. Single-point evaluations (set_positions, report-boundary
+    #     health checks, minimization) still converge fully - identical
+    #     physics to the SOR potential within target_epsilon.
+    #   'keep' - run the potential's own scf_method unchanged (reference
+    #     SOR semantics along the trajectory; expect the drift above).
+    scf: str = 'auto'
     # Neighbor-list rebuild policy inside a chunk:
     #   k >= 1  - rebuild every k steps (k = 1 rebuilds every evaluation,
     #             matching the reference's rebuild-every-call; k > 1 requires
@@ -62,12 +74,27 @@ class SimulationConfig:
     #             syncs, no interval tuning (the headline bench.py policy);
     #             requires nlist_skin > 0.
     nlist_rebuild_interval: object = 1
+    # COM-motion removal (OpenMM CMMotionRemover parity): every k steps the
+    # mass-weighted center-of-mass velocity is subtracted inside the scan
+    # (f32 force rounding otherwise accumulates COM drift over long NVE
+    # runs). 0 disables; 1 matches OpenMM's default frequency. The app
+    # layer enables it when the force list carries the cm_motion tag.
+    cm_motion_interval: int = 0
     # r-RESPA multiple timestepping (OpenMM MTSIntegrator role): dt becomes
     # the OUTER step for the expensive intermolecular terms (PIPs,
     # polarization/PME, dispersion); the cheap Partridge-Schwenke monomer
     # term - whose OH stretch pins MB-pol's 0.2 fs timestep - runs at
     # dt/respa_inner. 1 = single-timestep integration (default).
     respa_inner: int = 1
+    # three-level r-RESPA: respa_mid > 1 puts the terms named in
+    # respa_slow_terms (default the three-body PIP - ~45% of an MB-pol
+    # evaluation, varying on intermolecular timescales) alone on the OUTER
+    # dt rung; the remaining intermolecular terms (2b/dispersion/
+    # polarization-PME) run at dt/respa_mid and the monomer term at
+    # dt/(respa_mid*respa_inner). Velocity-Verlet (+ optional Andersen)
+    # only. respa_mid = 1 keeps the two-level split above.
+    respa_mid: int = 1
+    respa_slow_terms: tuple = ('three_body',)
 
 
 class Simulation:
@@ -80,6 +107,18 @@ class Simulation:
         # fresh default per instance (a shared mutable dataclass default
         # would leak caller mutations into every later Simulation)
         self.config = config if config is not None else SimulationConfig()
+        if self.config.scf not in ('auto', 'keep'):
+            raise ValueError(f"SimulationConfig.scf must be 'auto' or "
+                             f"'keep', got {self.config.scf!r}")
+        if (self.config.scf == 'auto' and potential.elec_params is not None
+                and potential.config.scf_method == 'sor'):
+            # conservative-dynamics default: swap the dissipative
+            # loosely-converged SOR loop for the ASPC closure along the
+            # trajectory (see SimulationConfig.scf); reference SOR
+            # semantics stay available with scf='keep'
+            from mbpol_openmm_plugin_tpu.models.potential import \
+                with_scf_method
+            self.potential = with_scf_method(potential, 'aspc')
         self._key = jax.random.PRNGKey(seed)
         self.state: Optional[I.MDState] = None
         # adaptive barostat move size (scale, attempted, accepted) -
@@ -87,8 +126,9 @@ class Simulation:
         # across chunks, initialized lazily from the first box
         self._baro = None
         self._step_chunk = jax.jit(self._step_chunk_impl, static_argnames=('n_steps',))
-        # r-RESPA fast/slow split, built lazily on first use
+        # r-RESPA fast/slow splits, built lazily on first use
         self._respa = None
+        self._respa3 = None
 
     # ------------------------------------------------------------------
     def set_positions(self, positions, box=None):
@@ -120,21 +160,25 @@ class Simulation:
         jittable build when twice the max O displacement since the last build
         exceeds half the skin (the lists key on O-O distances only, so O
         drift bounds their staleness) - exact validity every step, zero host
-        syncs. nl_carry = (nlists, build_positions)."""
-        from mbpol_openmm_plugin_tpu.system import make_molecules_whole
+        syncs. nl_carry = (nlists, build_positions, overflow_flag); a padded
+        capacity overflow at a mid-chunk rebuild ORs into the carried flag,
+        surfaced at report boundaries (a truncated list silently drops
+        interactions, so it must not be visible only when the end-of-chunk
+        health re-build happens to reproduce it). The build needs no
+        molecule imaging: _neighbor_lists reads only O positions, which
+        make_molecules_whole never moves (it re-images H/M around O)."""
         pot = pot or self.potential
-        nl, pb = nl_carry
+        nl, pb, ovf = nl_carry
         o_idx = np.asarray(self.system.o_index)
         skin = pot.config.nlist_skin
 
         def rebuild():
-            pl, tl, _ = pot._neighbor_lists(
-                make_molecules_whole(self.system, p, box=box), box=box)
-            return (pl, tl), p
+            pl, tl, d = pot._neighbor_lists(p, box=box)
+            return (pl, tl), p, ovf | d['pair_overflow'] | d['triplet_overflow']
 
         disp = jnp.max(jnp.linalg.norm(p[o_idx] - pb[o_idx], axis=-1))
         return jax.lax.cond(2.0 * disp > 0.5 * skin, rebuild,
-                            lambda: (nl, pb))
+                            lambda: (nl, pb, ovf))
 
     def _one_step(self, state, mu=None, nlists=None, nl_carry=None):
         cfg = self.config
@@ -162,7 +206,23 @@ class Simulation:
             if cfg.temperature is not None and cfg.thermostat == 'andersen':
                 state = I.andersen_thermostat(self.system, state, cfg.dt,
                                               cfg.temperature, cfg.collision_frequency)
+        state = self._maybe_remove_cm(state)
         return state, aux[0], aux[1], aux[2]
+
+    def _maybe_remove_cm(self, state):
+        """CMMotionRemover application at cm_motion_interval (OpenMM checks
+        step % frequency == 0; interval 1 skips the cond)."""
+        k = int(self.config.cm_motion_interval)
+        if not k:
+            return state
+        v = state.velocities
+        if k == 1:
+            v = I.remove_cm_motion(self.system, v)
+        else:
+            v = jax.lax.cond(state.step % k == 0,
+                             lambda: I.remove_cm_motion(self.system, v),
+                             lambda: v)
+        return dataclasses.replace(state, velocities=v)
 
     def _respa_split(self):
         """(ef_fast, pot_slow) for r-RESPA, built once. Fast = the one-body
@@ -174,6 +234,39 @@ class Simulation:
             ef_intra, ef_inter = mbpol_intra_inter_split(self.potential)
             self._respa = (ef_intra, ef_inter._potential)
         return self._respa
+
+    def _respa_split3(self):
+        """(ef_fast, pot_mid, pot_slow, pot_inter) for three-level r-RESPA:
+        fast = monomer term, slow = respa_slow_terms (default three_body),
+        mid = the remaining intermolecular terms. pot_inter (all
+        intermolecular terms) builds the shared pair+triplet lists once per
+        rebuild; mid/slow evaluations receive them via nlists=. Tuned
+        capacities inherit from the parent potential."""
+        if self._respa3 is None:
+            import dataclasses as _dc
+
+            from mbpol_openmm_plugin_tpu.md.rpmd import mbpol_intra_inter_split
+            from mbpol_openmm_plugin_tpu.models.potential import (
+                MBPol, inherit_capacities)
+            ef_intra, ef_inter = mbpol_intra_inter_split(self.potential)
+            pot_inter = ef_inter._potential
+            slow_terms = tuple(t for t in pot_inter.config.terms
+                               if t in self.config.respa_slow_terms)
+            mid_terms = tuple(t for t in pot_inter.config.terms
+                              if t not in slow_terms)
+            if not slow_terms or not mid_terms:
+                raise ValueError(
+                    f'respa_mid > 1 needs a non-trivial term split; got '
+                    f'slow={slow_terms} mid={mid_terms} from '
+                    f'respa_slow_terms={self.config.respa_slow_terms}')
+            pot_mid = inherit_capacities(self.potential, MBPol(
+                self.system, _dc.replace(pot_inter.config, terms=mid_terms),
+                mesh=self.potential.mesh))
+            pot_slow = inherit_capacities(self.potential, MBPol(
+                self.system, _dc.replace(pot_inter.config, terms=slow_terms),
+                mesh=self.potential.mesh))
+            self._respa3 = (ef_intra, pot_mid, pot_slow, pot_inter)
+        return self._respa3
 
     def _one_step_respa(self, state, mu, f_slow, nlists=None, nl_carry=None):
         """One r-RESPA outer step.
@@ -210,7 +303,67 @@ class Simulation:
                 state = I.andersen_thermostat(self.system, state, cfg.dt,
                                               cfg.temperature,
                                               cfg.collision_frequency)
+        state = self._maybe_remove_cm(state)
         return state, aux[0], f_slow, aux[1], aux[2]
+
+    def _one_step_respa3(self, state, mu, f_mid, f_slow, nlists=None,
+                         nl_carry=None, B=None):
+        """One three-level r-RESPA outer step (respa_mid middle sub-steps,
+        respa_inner monomer steps each). mu is the ASPC dipole-history
+        stack [h, natoms, 3] when B (predictor coefficients) is given,
+        else plain warm-start dipoles (or None); the predictor/corrector
+        update runs INSIDE each middle evaluation - the polarization lives
+        on the middle rung, so its closure advances at dt/respa_mid.
+        Returns (state', mu', f_mid', f_slow', health, nl_carry')."""
+        cfg = self.config
+        ef_intra, pot_mid, pot_slow, _ = self._respa_split3()
+        box = state.box if cfg.barostat_pressure is not None else None
+
+        aux = [mu, jnp.ones((), bool), nl_carry]
+
+        def ef_mid(p):
+            nl = nlists
+            if aux[2] is not None:
+                aux[2] = self._auto_rebuild(aux[2], p, box, pot=pot_mid)
+                nl = aux[2][0]
+            m = aux[0]
+            mu0 = None
+            if m is not None and cfg.scf_warm_start:
+                mu0 = (jnp.einsum('h,hnd->nd', B, m) if B is not None else m)
+            e, f, parts, diag = pot_mid._energy_forces_impl(
+                p, mu0, nlists=nl, box=box)
+            mu_new = diag.get('induced_dipoles')
+            if m is not None and mu_new is not None:
+                aux[0] = (jnp.roll(m, 1, axis=0).at[0].set(mu_new)
+                          if B is not None else mu_new)
+            aux[1] = aux[1] & self._health(diag)
+            return e, f
+
+        def ef_slow(p):
+            # runs at the same positions as the last middle evaluation, so
+            # the carried lists are already validated for p
+            nl = aux[2][0] if aux[2] is not None else nlists
+            e, f, parts, diag = pot_slow._energy_forces_impl(
+                p, nlists=nl, box=box)
+            aux[1] = aux[1] & self._health(diag)
+            return e, f
+
+        def ef_fast(p):
+            return ef_intra(p, box)
+
+        if cfg.temperature is not None and cfg.thermostat == 'langevin':
+            raise NotImplementedError(
+                'respa_mid > 1 supports velocity-Verlet (+ Andersen) only; '
+                'use the two-level respa_inner split with langevin')
+        state, f_mid, f_slow, _ = I.respa3_velocity_verlet_step(
+            self.system, ef_fast, ef_mid, ef_slow, state, f_mid, f_slow,
+            cfg.dt, cfg.respa_mid, cfg.respa_inner)
+        if cfg.temperature is not None and cfg.thermostat == 'andersen':
+            state = I.andersen_thermostat(self.system, state, cfg.dt,
+                                          cfg.temperature,
+                                          cfg.collision_frequency)
+        state = self._maybe_remove_cm(state)
+        return state, aux[0], f_mid, f_slow, aux[1], aux[2]
 
     def _step_chunk_impl(self, state, baro, n_steps):
         cfg = self.config
@@ -220,7 +373,12 @@ class Simulation:
             raise ValueError(
                 "nlist_rebuild_interval='auto' requires nlist_skin > 0 "
                 "(the displacement trigger compares O drift against the skin)")
-        reuse = 1 if auto_nl else max(int(cfg.nlist_rebuild_interval), 1)
+        if cfg.nlist_rebuild_interval == 'auto' and not use_nl:
+            # nothing to rebuild on a dense (<=24 water) potential; treat
+            # 'auto' as a no-op instead of crashing in the int() coercion
+            reuse = 1
+        else:
+            reuse = 1 if auto_nl else max(int(cfg.nlist_rebuild_interval), 1)
         warm = cfg.scf_warm_start and self.potential.elec_params is not None
         # ASPC closure (potential scf_method='aspc'): the scan carries the
         # last k+2 corrected dipole sets and feeds the B_j-weighted
@@ -232,24 +390,43 @@ class Simulation:
                  self.potential.config.aspc_k), state.positions.dtype)
              if aspc else None)
 
-        respa = int(cfg.respa_inner) > 1
-        pot_nl = self._respa_split()[1] if respa else self.potential
+        respa3 = int(cfg.respa_mid) > 1
+        respa = (not respa3) and int(cfg.respa_inner) > 1
+        pot_nl = (self._respa_split3()[3] if respa3
+                  else self._respa_split()[1] if respa else self.potential)
 
         def scan_group(state, mu, n):
             nlists = None
             nlc = None
+            ovf0 = jnp.zeros((), bool)
             box = state.box if cfg.barostat_pressure is not None else None
             if auto_nl:
-                # entry build; the scan carries (lists, build positions) and
-                # each step's evaluation rebuilds on displacement (lax.cond)
-                pl, tl, _ = pot_nl._neighbor_lists(state.positions, box=box)
-                nlc = ((pl, tl), state.positions)
+                # entry build; the scan carries (lists, build positions,
+                # overflow flag) and each step's evaluation rebuilds on
+                # displacement (lax.cond). Build overflow - entry or any
+                # mid-chunk rebuild - rides the carry to the report boundary.
+                pl, tl, d = pot_nl._neighbor_lists(state.positions, box=box)
+                ovf0 = d['pair_overflow'] | d['triplet_overflow']
+                nlc = ((pl, tl), state.positions, ovf0)
             elif use_nl and reuse > 1:
-                pl, tl, _ = pot_nl._neighbor_lists(state.positions, box=box)
+                pl, tl, d = pot_nl._neighbor_lists(state.positions, box=box)
+                ovf0 = d['pair_overflow'] | d['triplet_overflow']
                 nlists = (pl, tl)
 
             f_slow = None
-            if respa:
+            f_mid = None
+            if respa3:
+                # mid + slow forces at the group's entry positions (also
+                # refreshed after a barostat volume move rescaled everything)
+                _, pot_mid, pot_slow, _ = self._respa_split3()
+                mu_seed = mu[0] if (aspc and mu is not None) else mu
+                nl_arg = nlc[0] if auto_nl else nlists
+                _, f_mid, _, _ = pot_mid._energy_forces_impl(
+                    state.positions, mu_seed if warm else None,
+                    nlists=nl_arg, box=box)
+                _, f_slow, _, _ = pot_slow._energy_forces_impl(
+                    state.positions, nlists=nl_arg, box=box)
+            elif respa:
                 # slow forces at the group's entry positions (also refreshes
                 # them after a barostat volume move rescaled everything)
                 mu_seed = mu[0] if (aspc and mu is not None) else mu
@@ -266,8 +443,14 @@ class Simulation:
                 # while_loop or an extra reduction breaks overlap). The
                 # unused health value below is dead-code-eliminated by XLA;
                 # health is instead checked at report boundaries (step()).
-                s, m, fs, nc = carry
-                if aspc:
+                s, m, fm, fs, nc = carry
+                if respa3:
+                    # the ASPC predictor/corrector runs inside each middle
+                    # evaluation (_one_step_respa3), so the history carry
+                    # updates respa_mid times per outer step
+                    s, m, fm, fs, _ok, nc = self._one_step_respa3(
+                        s, m, fm, fs, nlists, nc, B=B if aspc else None)
+                elif aspc:
                     mu0 = jnp.einsum('h,hnd->nd', B, m)
                     if respa:
                         s, mu_new, fs, _ok, nc = self._one_step_respa(
@@ -283,11 +466,12 @@ class Simulation:
                 else:
                     s, mu_new, _ok, nc = self._one_step(s, m, nlists, nc)
                     m = mu_new if warm else None
-                return (s, m, fs, nc), s.potential_energy
+                return (s, m, fm, fs, nc), s.potential_energy
 
-            (state, mu, _, _), pes = jax.lax.scan(
-                body, (state, mu, f_slow, nlc), None, length=n)
-            return state, mu, pes
+            (state, mu, _, _, nlc_out), pes = jax.lax.scan(
+                body, (state, mu, f_mid, f_slow, nlc), None, length=n)
+            ovf = nlc_out[2] if auto_nl else ovf0
+            return state, mu, pes, ovf
 
         mu = None
         if warm:
@@ -316,9 +500,11 @@ class Simulation:
 
         pes = []
         done = 0
+        nl_ovf = jnp.zeros((), bool)
         while done < n_steps:
             n = min(group, n_steps - done)
-            state, mu, pe = scan_group(state, mu, n)
+            state, mu, pe, ovf = scan_group(state, mu, n)
+            nl_ovf = nl_ovf | ovf
             if is_baro:
                 state, baro = I.monte_carlo_barostat_move_adaptive(
                     self.system, energy_at, state, cfg.temperature,
@@ -326,7 +512,7 @@ class Simulation:
             pes.append(pe)
             done += n
         ke_end = I.kinetic_energy(self.system, state.velocities)
-        return state, baro, jnp.concatenate(pes), ke_end
+        return state, baro, jnp.concatenate(pes), ke_end, nl_ovf
 
     def step(self, n_steps, report_interval=None, check_health=True):
         """Advance n_steps. Returns a dict of per-report-interval metrics
@@ -345,7 +531,7 @@ class Simulation:
         remaining = n_steps
         while remaining > 0:
             chunk = min(report_interval, remaining)
-            self.state, self._baro, pe, ke = self._step_chunk(
+            self.state, self._baro, pe, ke, nl_ovf = self._step_chunk(
                 self.state, self._baro, chunk)
             if check_health:
                 # The hot scan emits only per-step PE (in-scan health flags
@@ -353,11 +539,19 @@ class Simulation:
                 # instead pay ONE diagnostic evaluation per report boundary
                 # (~a single step's cost, amortized over the interval) plus
                 # a NaN check on the PE trace, which catches mid-chunk
-                # explosions because NaN propagates to every later step.
+                # explosions because NaN propagates to every later step. The
+                # carried nl_ovf flag additionally catches a TRANSIENT list
+                # overflow at a mid-chunk rebuild that the end-of-chunk
+                # re-build might not reproduce.
                 pe_host = np.asarray(pe)
                 nan_step = (int(np.argmax(np.isnan(pe_host)))
                             if np.isnan(pe_host).any() else None)
                 _, _, _, diag = self.potential._energy_forces(self.state.positions)
+                if bool(np.asarray(nl_ovf)):
+                    raise RuntimeError(
+                        'neighbor-list overflow during a chunk rebuild by '
+                        f'step {int(self.state.step)}: raise the capacities '
+                        'with tune_capacities or the capacity factor')
                 if nan_step is not None or not bool(self._health(diag)):
                     at = (int(self.state.step) - chunk + nan_step
                           if nan_step is not None else int(self.state.step))

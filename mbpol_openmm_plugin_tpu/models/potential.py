@@ -94,6 +94,48 @@ class MBPolConfig:
     terms: tuple = ('electrostatics', 'one_body', 'two_body', 'three_body', 'dispersion')
 
 
+def with_scf_method(pot: 'MBPol', method: str, aspc_k: Optional[int] = None):
+    """A new MBPol over the same topology/shapes with a different SCF
+    closure ('sor' | 'diis' | 'aspc'). Single-point evaluations are
+    physics-identical (every method converges a cold start to the same
+    fixed point within target_epsilon; ASPC's one-corrector semantics only
+    applies along-trajectory with a dipole-history predictor) - so this is
+    safe for retargeting a potential's DYNAMICS operating point. Tuned
+    capacities, PME setup and neighbor machinery carry over; only the
+    (persistent-cache-assisted) XLA re-trace is paid."""
+    if pot.elec_params is None:
+        return pot
+    new = object.__new__(MBPol)
+    new.__dict__.update(pot.__dict__)
+    changes = dict(scf_method=method)
+    if aspc_k is not None:
+        changes['aspc_k'] = int(aspc_k)
+    new.config = dataclasses.replace(pot.config, **changes)
+    new.elec_params = dataclasses.replace(pot.elec_params, **changes)
+    new.__dict__.pop('_nl_jit', None)
+    new._energy_forces = jax.jit(new._energy_forces_impl)
+    new._energy_forces_warm = jax.jit(new._energy_forces_impl)
+    return new
+
+
+def inherit_capacities(src: 'MBPol', dst: 'MBPol'):
+    """Copy tuned padded-list capacities and static shape parameters from
+    one MBPol to another over the same topology (term-subset splits for
+    r-RESPA / ring-polymer contraction). A fresh MBPol falls back to the
+    conservative analytic bounds and wastes 2-3x on oversized pair/triplet
+    batches; inheriting keeps every derived potential at the parent's
+    tune_capacities operating point. Refreshes dst's jit wrappers (the
+    capacities are trace-time constants)."""
+    for attr in ('pair_cap', 'trip_cap', 'pair_eval_cap', 'trip_eval_cap',
+                 'elec_pair_cap', 'disp_pair_cap', '_block_info',
+                 'nlist_k_max', 'nlist_kt'):
+        if hasattr(src, attr):
+            setattr(dst, attr, getattr(src, attr))
+    dst._energy_forces = jax.jit(dst._energy_forces_impl)
+    dst._energy_forces_warm = jax.jit(dst._energy_forces_impl)
+    return dst
+
+
 class MBPol:
     """MB-pol potential for a fixed topology.
 
@@ -113,6 +155,19 @@ class MBPol:
         self.system = system
         self.config = config
         self.mesh = mesh
+        if 'electrostatics' in config.terms and system.n_ions:
+            # Fail at the door, not deep in the first evaluation: the
+            # parameter file defines no electrostatics parameters for ions
+            # (mbpol.xml:22-27 has water types only; Cl- appears only in the
+            # dispersion C6/d6 tables) so an ion-containing system can run
+            # dispersion/1b/2b/3b but not polarizable electrostatics -
+            # PARITY.md documents the deliberate reference parity.
+            raise ValueError(
+                'MB-pol electrostatics supports water-only systems (the '
+                'force field defines no ion electrostatics parameters, '
+                'mbpol.xml:22-27). Drop "electrostatics" from '
+                'MBPolConfig.terms to evaluate the remaining terms on '
+                'ion-containing systems.')
         if 'electrostatics' in config.terms:
             self.elec_params = elec.ElecParams.for_system(
                 system,
@@ -509,39 +564,25 @@ class MBPol:
             mol_perm = _bs.molecule_sort_permutation(o, box)
             site_perm = (4 * mol_perm[:, None]
                          + np.arange(4)[None, :]).reshape(-1)
-            # count actual active tile pairs at the sorted layout (numpy AABB
-            # replica of ops/elec_pallas_bs.active_tile_pairs)
+            # count actual active tile pairs at the sorted layout (host AABB
+            # replica of ops/elec_pallas_bs.active_tile_pairs, shared with
+            # the occupancy tests and parallel/plan.py)
             n_sites = 4 * self.system.n_waters
             pos4 = np.asarray(pos).reshape(-1, 3)[site_perm]
             if self.mesh is not None:
                 from mbpol_openmm_plugin_tpu.ops import elec_pallas as _ep
-                npad = _ep.padded_for_mesh(n_sites, self.mesh.devices.size)
+                ndev = self.mesh.devices.size
+                npad = _ep.padded_for_mesh(n_sites, ndev)
             else:
+                ndev = None
                 npad = _bs._padded(n_sites)
-            p = np.zeros((npad, 3))
-            p[:n_sites] = pos4 - np.floor(pos4 / box) * box
-            T = npad // _bs.TI
-            p3 = p.reshape(T, _bs.TI, 3)
-            valid = (np.arange(npad) < n_sites).reshape(T, _bs.TI, 1)
-            mins = np.min(np.where(valid, p3, 1e30), axis=1)
-            maxs = np.max(np.where(valid, p3, -1e30), axis=1)
-            c = 0.5 * (mins + maxs)
-            h = 0.5 * (maxs - mins)
-            dc = c[None] - c[:, None]
-            dc = dc - np.floor(dc / box + 0.5) * np.asarray(box)
-            gap = np.abs(dc) - (h[None] + h[:, None])
-            has = valid[:, :, 0].any(axis=1)
-            act = np.all(gap <= self.config.cutoff, axis=-1) \
-                & has[:, None] & has[None, :]
-            n_act = int(act.sum())
+            n_act, per_dev, _ = _bs.active_tile_pairs_host(
+                pos4, n_sites, box, self.config.cutoff, npad,
+                n_devices=ndev)
             cap_local = None
             if self.mesh is not None:
                 # per-device local-list capacity: max row-slab count across
                 # devices (the serpentine sort keeps slabs balanced)
-                ndev = self.mesh.devices.size
-                ntl = T // ndev
-                per_dev = [int(act[d * ntl:(d + 1) * ntl].sum())
-                           for d in range(ndev)]
                 cap_local = max(int(margin * max(per_dev)) + 8, 16)
             self._set_block_perm(site_perm, max(int(margin * n_act) + 8, 16),
                                  cap_local=cap_local)

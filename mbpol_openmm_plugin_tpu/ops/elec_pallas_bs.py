@@ -63,6 +63,38 @@ def tile_pair_capacity(n_sites, box, cutoff, tile=TI, factor=1.3):
     return min(n_tiles * per, n_tiles * n_tiles)
 
 
+def active_tile_pairs_host(pos4_sorted, n_sites, box, cutoff, npad,
+                           n_devices=None):
+    """Host-side (numpy) AABB replica of `active_tile_pairs`: counts the
+    active tile pairs at a sorted site layout. Returns (n_active,
+    per_device, act) where per_device is the row-slab active-pair count for
+    each of n_devices (None -> [n_active]) and act is the [T, T] boolean
+    activity matrix. Used by tune_capacities for capacity planning and by
+    the occupancy tests to assert every device owns real work."""
+    box = np.asarray(box, np.float64)
+    p = np.zeros((npad, 3))
+    p[:n_sites] = pos4_sorted - np.floor(pos4_sorted / box) * box
+    T = npad // TI
+    p3 = p.reshape(T, TI, 3)
+    valid = (np.arange(npad) < n_sites).reshape(T, TI, 1)
+    mins = np.min(np.where(valid, p3, 1e30), axis=1)
+    maxs = np.max(np.where(valid, p3, -1e30), axis=1)
+    c = 0.5 * (mins + maxs)
+    h = 0.5 * (maxs - mins)
+    dc = c[None] - c[:, None]
+    dc = dc - np.floor(dc / box + 0.5) * box
+    gap = np.abs(dc) - (h[None] + h[:, None])
+    has = valid[:, :, 0].any(axis=1)
+    act = np.all(gap <= cutoff, axis=-1) & has[:, None] & has[None, :]
+    n_act = int(act.sum())
+    if n_devices is None:
+        return n_act, [n_act], act
+    ntl = T // n_devices
+    per_dev = [int(act[d * ntl:(d + 1) * ntl].sum())
+               for d in range(n_devices)]
+    return n_act, per_dev, act
+
+
 def _tile_aabbs(positions, n_sites, box, tile):
     """Per-tile wrapped-coordinate AABBs: (center [T,3], half [T,3],
     has_sites [T])."""

@@ -126,6 +126,63 @@ def test_respa_checkpoint_resume_determinism(tmp_path):
                                atol=1e-12)
 
 
+def test_respa3_split_energy_matches_full():
+    """Three-level split (3b outer / 2b+disp+elec mid / monomer inner):
+    the reported PE at the new positions equals a full-potential
+    evaluation, and the summed channel forces rebuild the full forces."""
+    sim = _sim(respa_inner=2, dt=0.0008, respa_mid=2, scf_warm_start=False)
+    sim.set_velocities_to_temperature(50.0)
+    sim.step(3)
+    e_full, f_full, _, _ = sim.potential.energy_forces(sim.state.positions)
+    np.testing.assert_allclose(float(sim.state.potential_energy),
+                               float(e_full), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sim.state.forces),
+                               np.asarray(f_full), atol=1e-6)
+
+
+def test_respa3_nve_energy_conservation():
+    """NVE with the three-body term on a 0.8 fs OUTER rung, the remaining
+    intermolecular terms at 0.4 fs and the monomer term at 0.2 fs - the
+    production MTS ladder (verdict r2 item 2)."""
+    sim = _sim(respa_inner=2, dt=0.0008, respa_mid=2)
+    sim.set_velocities_to_temperature(50.0)
+    m0 = sim.step(5)
+    e0 = m0['total_energy'][-1]
+    m = sim.step(100, report_interval=20)
+    drift = np.max(np.abs(m['total_energy'] - e0))
+    assert drift < 0.05, (drift, m['total_energy'], e0)
+
+
+def test_respa3_with_aspc_runs_and_conserves():
+    """ASPC polarization closure on the middle rung: the predictor/
+    corrector history advances per MIDDLE evaluation (dt/respa_mid)."""
+    sys_, pos = fixtures.load_system('water3')
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff', cutoff=0.9,
+                                  scf_method='aspc', aspc_k=2))
+    sim = Simulation(pot, SimulationConfig(dt=0.0008, temperature=None,
+                                           respa_inner=2, respa_mid=2),
+                     seed=1)
+    sim.set_positions(pos)
+    sim.set_velocities_to_temperature(50.0)
+    m0 = sim.step(5)
+    e0 = m0['total_energy'][-1]
+    m = sim.step(60, report_interval=20)
+    drift = np.max(np.abs(m['total_energy'] - e0))
+    assert np.isfinite(m['total_energy']).all()
+    assert drift < 0.1, (drift, m['total_energy'], e0)
+
+
+def test_respa3_rejects_trivial_split():
+    import pytest
+    sys_, pos = fixtures.load_system('water3')
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff', cutoff=0.9,
+                                  terms=('three_body',)))
+    sim = Simulation(pot, SimulationConfig(dt=0.0008, respa_mid=2), seed=1)
+    sim.set_positions(pos)
+    with pytest.raises(ValueError, match='non-trivial'):
+        sim.step(1)
+
+
 def test_app_mts_integrator_end_to_end(tmp_path):
     """app.MTSVerletIntegrator drives the same RESPA machinery (water3
     cluster through the OpenMM-compatible surface)."""
