@@ -195,14 +195,21 @@ class Bench:
         accessed) per MD step - logical FLOPs as HLO counts them (one
         fused multiply-add = 2). The executable is the SAME one the timed
         path runs (same jit cache key), so this is the program being
-        measured, not a proxy."""
+        measured, not a proxy.
+
+        XLA's cost analysis counts a while/scan BODY ONCE regardless of
+        trip count (verified empirically: identical flops for n = 1, 4,
+        100), so the reported totals ARE the per-step figures - no
+        division by n. 'bytes accessed' sums every HLO op's operand +
+        result bytes before fusion, so it upper-bounds true HBM traffic
+        (VMEM-resident fusion temporaries are counted too)."""
         st, mu_hist = carry
         nl, _ = self.pot.build_neighbor_lists(st.positions)
         c = self._hot.lower((st, mu_hist, nl, st.positions), n).compile()
         ca = c.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
-        return ca.get('flops', 0.0) / n, ca.get('bytes accessed', 0.0) / n
+        return ca.get('flops', 0.0), ca.get('bytes accessed', 0.0)
 
 
 def build(dtype_bits=32, scf_mode='sor'):
@@ -331,10 +338,15 @@ def _pimd_figure(n_beads=8, contraction=1):
                          nlist_rebuild_interval=25)
     sim.set_positions(pos, spread=0.002)
     n = int(os.environ.get('BENCH_PIMD_STEPS', 100))
-    n_therm = int(os.environ.get('BENCH_PIMD_THERM_STEPS', 3 * n))
-    sim.step(n_therm, report_interval=n)      # compile + thermalize
+    n_therm = int(os.environ.get('BENCH_PIMD_THERM_STEPS', 10 * n))
+    # thermalize with the SAME report_interval as the timed window: the
+    # jitted chunk keys on the chunk length, so a different interval here
+    # would put a fresh XLA compile inside the timed region (the r2->r3
+    # 110 -> 2.9 steps/s "regression" was exactly that)
+    ri = max(n // 2, 1)
+    sim.step(n_therm, report_interval=ri)     # compile + thermalize
     t0 = time.time()
-    m = sim.step(n, report_interval=max(n // 2, 1))
+    m = sim.step(n, report_interval=ri)
     elapsed = time.time() - t0
     etot = np.asarray(m['total_energy'])
     ke_cv = float(np.asarray(m['kinetic_virial'])[-1])
@@ -504,8 +516,20 @@ def _respa_figure(n_mid=2, n_inner=2, aspc_drift_per_ps=None):
     elapsed = time.time() - t0
     sps = n / elapsed
     etot = np.asarray(m['total_energy'])
-    drift = float(etot[-1] - m0['total_energy'][-1])
-    drift_per_ps = drift / (n * dt_outer)
+    # drift is gated over the SAME simulated time as the ASPC baseline
+    # window (1000 x 0.2 fs = 0.2 ps): per-ps drift extrapolated from a
+    # 2.5x shorter window is mostly sampling noise, which is what flipped
+    # the r3 gate on a 9 kJ/mol absolute drift
+    n_drift = max(round(1000.0 * DT_FS * 1e-3 / dt_outer) - n, 0)
+    e_start = float(m0['total_energy'][-1])
+    if n_drift:
+        md = sim.step(n_drift, report_interval=n_drift)
+        e_end = float(np.asarray(md['total_energy'])[-1])
+        nan2 = bool(np.isnan(np.asarray(md['total_energy'])).any())
+    else:
+        e_end, nan2 = float(etot[-1]), False
+    drift = e_end - e_start
+    drift_per_ps = drift / ((n + n_drift) * dt_outer)
     gate = None
     if aspc_drift_per_ps is not None:
         gate = bool(abs(drift_per_ps)
@@ -515,11 +539,12 @@ def _respa_figure(n_mid=2, n_inner=2, aspc_drift_per_ps=None):
                 outer_dt_fs=round(dt_outer * 1e3, 3),
                 ns_per_day=round(sps * dt_outer * 1e-3 * 86400.0, 4),
                 etot_drift_kJmol=round(drift, 3),
+                drift_window_ps=round((n + n_drift) * dt_outer, 4),
                 drift_per_ps_kJmol=round(drift_per_ps, 3),
                 aspc_drift_per_ps_kJmol=(None if aspc_drift_per_ps is None
                                          else round(aspc_drift_per_ps, 3)),
                 drift_gate_ok=gate,
-                nan_detected=bool(np.isnan(etot).any()))
+                nan_detected=bool(np.isnan(etot).any() or nan2))
 
 
 def main():
@@ -552,7 +577,11 @@ def main():
                    achieved_GBps=round(by * steps_per_s / 1e9, 1),
                    mfu_vs_f32_highest_peak=round(ach / peak_f32h, 3),
                    mfu_vs_bf16_peak=round(ach / peak_bf16, 3),
-                   hbm_utilization=round(by * steps_per_s / hbm, 3),
+                   # 'bytes accessed' counts pre-fusion operand/result
+                   # bytes, so this over-counts true HBM traffic (VMEM
+                   # fusion temporaries included) - an upper bound, can
+                   # exceed 1.0
+                   hbm_bound_utilization=round(by * steps_per_s / hbm, 3),
                    peak_assumption='v5e: bf16 197 TFLOP/s; f32-HIGHEST '
                                    '= bf16/6; HBM 819 GB/s')
     except Exception as exc:          # accounting must never kill the bench

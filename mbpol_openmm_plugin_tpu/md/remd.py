@@ -249,8 +249,12 @@ class REMDSimulation:
         self.potential = potential
         self.system = potential.system
         self.temperatures = np.asarray(temperatures, float)
-        if len(self.temperatures) < 2:
-            raise ValueError('REMD needs at least 2 replicas')
+        if len(self.temperatures) < 1:
+            raise ValueError('REMD needs at least 1 replica')
+        # R = 1 is a degenerate but valid ladder (no exchange candidates:
+        # every sweep is the identity permutation) - the honest
+        # single-replica baseline for ladder_efficiency measurements,
+        # running the exact same vmapped machinery
         if np.any(np.diff(self.temperatures) <= 0):
             raise ValueError('temperatures must be strictly increasing')
         self.config = config = config if config is not None else REMDConfig()
