@@ -494,7 +494,22 @@ class PIMDSimulation:
     def __init__(self, potential, n_beads, dt=1e-4, temperature=300.0,
                  tau0=0.1, thermostat='pile', contraction=None, seed=0,
                  mesh=None, scf_warm_start=True, barostat_pressure=None,
-                 barostat_interval=25, nlist_rebuild_interval=1):
+                 barostat_interval=25, nlist_rebuild_interval=1,
+                 scf='auto'):
+        if scf not in ('auto', 'keep'):
+            raise ValueError(f"scf must be 'auto' or 'keep', got {scf!r}")
+        if (scf == 'auto' and scf_warm_start
+                and potential.elec_params is not None
+                and potential.config.scf_method == 'sor'):
+            # md.Simulation semantics: the dynamics default is the Kolafa
+            # ASPC closure (one damped corrector on a B_j-extrapolated
+            # predictor) instead of the loosely-converged SOR loop - same
+            # fixed point, ~half the per-step SCF cost, near-conservative
+            # where SOR is measurably dissipative. scf='keep' preserves
+            # the potential's own method along the trajectory.
+            from mbpol_openmm_plugin_tpu.models.potential import \
+                with_scf_method
+            potential = with_scf_method(potential, 'aspc')
         self.potential = potential
         self.system = potential.system
         self.n_beads = int(n_beads)
@@ -539,12 +554,44 @@ class PIMDSimulation:
             self.barostat_interval = max(int(barostat_interval), 1)
         # SCF warm start: thread per-bead induced dipoles through the scan
         # (same fixed point, fewer iterations - md.Simulation semantics,
-        # cf. SimulationConfig.scf_warm_start). Not applicable under 'aspc'
-        # (there mu0 is a predictor fed to a single corrector, which needs
-        # the history machinery) or without electrostatics.
-        self._warm = (scf_warm_start
-                      and potential.elec_params is not None
+        # cf. SimulationConfig.scf_warm_start). Under 'aspc' the threaded
+        # payload is instead the Kolafa dipole HISTORY stack (the last k+2
+        # corrected sets, leading axis h): the predictor is the B_j-
+        # weighted extrapolation and each evaluation runs exactly one
+        # damped corrector (models/electrostatics.scf_induced_dipoles_aspc)
+        # - feeding plain last-step dipoles into that corrector is the
+        # measured-unstable configuration, hence the two distinct modes.
+        _has_elec = potential.elec_params is not None
+        self._aspc = (scf_warm_start and _has_elec
+                      and potential.config.scf_method == 'aspc')
+        self._warm = (scf_warm_start and _has_elec
                       and potential.config.scf_method != 'aspc')
+        if self._aspc:
+            from mbpol_openmm_plugin_tpu.models.electrostatics import \
+                aspc_predictor_coefficients
+            _B = aspc_predictor_coefficients(potential.config.aspc_k)
+            self._hist_len = len(_B)
+
+            def _predict(h):
+                # B_j-weighted predictor over the history axis (works for
+                # [h, nc, na, 3] batched and [h, na, 3] per-bead payloads)
+                return jnp.tensordot(jnp.asarray(_B, h.dtype), h,
+                                     axes=(0, 0))
+
+            def _push(h, mu_new):
+                return jnp.roll(h, 1, axis=0).at[0].set(mu_new)
+        else:
+            self._hist_len = None
+
+            def _predict(m):
+                return m
+
+            def _push(m, mu_new):
+                return mu_new
+        self._mu_predict, self._mu_push = _predict, _push
+        # both modes thread a dipole payload through the scan carry
+        use_mu = self._warm or self._aspc
+        self._use_mu = use_mu
         if contraction:
             if mesh is not None:
                 raise ValueError(
@@ -576,20 +623,23 @@ class PIMDSimulation:
             self._to_eval = to_contracted
             if self._nl_reuse:
                 b_intra = jax.vmap(ef_intra, in_axes=(0, None))
-                if self._warm:
+                if use_mu:
                     def inter_nl(p, mu0, nl):
                         e, f, parts, diag = pot_inter._energy_forces_impl(
                             p, mu0, nlists=nl)
                         return e, f, diag.get('induced_dipoles', mu0)
                     b_inter_nl = jax.vmap(inter_nl)
 
-                    def ef_aux(q, aux):   # aux = (mu [nc,na,3], nl, over)
-                        mu, nl, ov = aux
+                    # aux = (mu-payload, nl, over); the payload is
+                    # [nc, na, 3] warm-start dipoles or the [h, nc, na, 3]
+                    # ASPC history (predict/push are identity under warm)
+                    def ef_aux(q, aux):
+                        m, nl, ov = aux
                         qc = to_contracted(q)
-                        e_c, f_c, mu_new = b_inter_nl(qc, mu, nl)
+                        e_c, f_c, mu_new = b_inter_nl(qc, _predict(m), nl)
                         e_i, f_i = b_intra(q, None)
                         e, f = combine(q, e_c, f_c, e_i, f_i)
-                        return e, f, (mu_new, nl, ov)
+                        return e, f, (_push(m, mu_new), nl, ov)
 
                     self._mu_beads = nc
                 else:
@@ -611,7 +661,7 @@ class PIMDSimulation:
                     potential.system, ef_aux, n_beads, dt, temperature,
                     tau0=tau0, thermostat=thermostat, batched=True,
                     with_aux=True)
-            elif self._warm:
+            elif use_mu:
                 def inter_one(p, mu0, box=None):
                     e, f, parts, diag = pot_inter._energy_forces_impl(
                         p, mu0, box=box)
@@ -619,12 +669,12 @@ class PIMDSimulation:
                 b_intra = jax.vmap(ef_intra, in_axes=(0, None))
                 b_inter = jax.vmap(inter_one, in_axes=(0, 0, None))
 
-                def ef_aux(q, mu, box=None):    # mu: [nc, natoms, 3]
+                def ef_aux(q, m, box=None):   # m: [nc,na,3] or [h,nc,na,3]
                     qc = to_contracted(q)
-                    e_c, f_c, mu_new = b_inter(qc, mu, box)
+                    e_c, f_c, mu_new = b_inter(qc, _predict(m), box)
                     e_i, f_i = b_intra(q, box)
                     e, f = combine(q, e_c, f_c, e_i, f_i)
-                    return e, f, mu_new
+                    return e, f, _push(m, mu_new)
 
                 self._mu_beads = nc
                 if self._npt:
@@ -669,13 +719,17 @@ class PIMDSimulation:
             self._to_eval = lambda q: q
             if self._nl_reuse:
                 # per-bead lists ride the aux carry; vmapped by
-                # make_rpmd_step's (0, 0) in_axes (bead-leading aux)
-                if self._warm:
+                # make_rpmd_step's (0, 0) in_axes (bead-leading aux) - the
+                # mu payload is per-bead [na, 3] dipoles or the per-bead
+                # [h, na, 3] ASPC history
+                if use_mu:
                     def one_aux(p, aux):
-                        mu0, nl, ov = aux
+                        m, nl, ov = aux
+                        mu0 = _predict(m)
                         e, f, parts, diag = potential._energy_forces_impl(
                             p, mu0, nlists=nl)
-                        return e, f, (diag.get('induced_dipoles', mu0),
+                        return e, f, (_push(m, diag.get('induced_dipoles',
+                                                        mu0)),
                                       nl, ov)
                     self._mu_beads = self.n_beads
                 else:
@@ -688,11 +742,12 @@ class PIMDSimulation:
                     potential.system, one_aux, n_beads, dt, temperature,
                     tau0=tau0, thermostat=thermostat, mesh=mesh,
                     with_aux=True)
-            elif self._warm:
-                def one_aux(p, mu0, box=None):
+            elif use_mu:
+                def one_aux(p, m, box=None):
+                    mu0 = _predict(m)
                     e, f, parts, diag = potential._energy_forces_impl(
                         p, mu0, box=box)
-                    return e, f, diag.get('induced_dipoles', mu0)
+                    return e, f, _push(m, diag.get('induced_dipoles', mu0))
 
                 self._mu_beads = self.n_beads
                 if self._npt:
@@ -738,6 +793,23 @@ class PIMDSimulation:
         self._baro_state = None   # adaptive (scale, attempted, accepted)
         self._chunk = jax.jit(self._chunk_impl, static_argnames=('n',))
 
+    def _mu_init(self, dtype, mu_seed=None):
+        """Initial dipole payload: [mu_beads, na, 3] warm-start dipoles,
+        or the ASPC history stack - [h, nc, na, 3] on the batched
+        contraction paths (history leading, consumed by _mu_predict before
+        the bead vmap) and [nb, h, na, 3] per-bead otherwise (bead leading
+        for make_rpmd_step's aux vmap)."""
+        na = self.system.n_atoms
+        mu = (jnp.zeros((na, 3), dtype) if mu_seed is None
+              else jnp.asarray(mu_seed, dtype))
+        if self._aspc:
+            if self.contraction:
+                return jnp.tile(mu[None, None],
+                                (self._hist_len, self._mu_beads, 1, 1))
+            return jnp.tile(mu[None, None],
+                            (self._mu_beads, self._hist_len, 1, 1))
+        return jnp.tile(mu[None], (self._mu_beads, 1, 1))
+
     def set_positions(self, positions, box=None, spread=0.0):
         pos = jnp.asarray(positions)
         self.state = initial_state(self.system, pos, self.n_beads,
@@ -747,8 +819,25 @@ class PIMDSimulation:
         if self._warm:
             # warm-start dipoles: zeros converge to the same fixed point
             # (only the very first step pays a few extra SCF iterations)
-            self._mu = jnp.zeros((self._mu_beads, self.system.n_atoms, 3),
-                                 pos.dtype)
+            self._mu = self._mu_init(pos.dtype)
+        elif self._aspc:
+            # the ASPC history must start AT the fixed point (the single
+            # damped corrector only tracks it; from a zero history it
+            # would relax over tens of steps): one fully-converged
+            # cold-start evaluation of bead 0 seeds every history slot -
+            # a constant history degenerates the predictor to that value
+            # (the B_j sum to 1)
+            if self._npt:
+                seed_eval = jax.jit(
+                    lambda p, b: self._eval_pot._energy_forces_impl(
+                        p, box=b)[3])
+                diag0 = seed_eval(self._to_eval(self.state.positions)[0],
+                                  self.state.box)
+            else:
+                _, _, _, diag0 = self._eval_pot._energy_forces(
+                    self._to_eval(self.state.positions)[0])
+            self._mu = self._mu_init(pos.dtype,
+                                     diag0.get('induced_dipoles'))
         if self._npt:
             from mbpol_openmm_plugin_tpu.md.integrators import \
                 barostat_scale_init
@@ -756,7 +845,7 @@ class PIMDSimulation:
                                                    pos.dtype)
             # seed through the box-aware path (set_positions may override
             # the static system box)
-            if self._warm:
+            if self._use_mu:
                 e, f, _ = jax.jit(self._ef_box)(
                     self.state.positions, self._mu, self.state.box)
             else:
@@ -792,7 +881,7 @@ class PIMDSimulation:
             (state, mu), out = jax.lax.scan(body, (state, mu),
                                             jnp.arange(k))
             return state, mu, out
-        if self._warm:
+        if self._use_mu:
             def body(carry, _):
                 s, m = carry
                 s, m = self._step(s, m)
@@ -816,7 +905,7 @@ class PIMDSimulation:
     def _baro_move(self, state, mu, baro):
         from mbpol_openmm_plugin_tpu.md.integrators import \
             barostat_scale_update
-        if self._warm:
+        if self._use_mu:
             def e_fn(q, box):
                 return self._ef_box(q, mu, box)[0]
         else:
@@ -1016,10 +1105,9 @@ class PIMDSimulation:
             box=jnp.asarray(ck['box']), step=jnp.asarray(ck['step']),
             rng=jnp.asarray(ck['rng']))
         self._nl = None          # reuse lists are reseeded lazily by step()
-        if self._warm:
+        if self._use_mu:
             self._mu = (jnp.asarray(ck['mu']) if 'mu' in ck else
-                        jnp.zeros((self._mu_beads, self.system.n_atoms, 3),
-                                  self.state.positions.dtype))
+                        self._mu_init(self.state.positions.dtype))
         if self._npt:
             if 'baro_scale' in ck:
                 self._baro_state = (jnp.asarray(ck['baro_scale']),
