@@ -475,13 +475,16 @@ def _remd_cluster_figure(n_replicas=8):
                 nan_detected=bool(np.isnan(out['potential_energy']).any()))
 
 
-def _respa_figure(n_mid=2, n_inner=2, aspc_drift_per_ps=None):
+def _respa_figure(n_mid=3, n_inner=2, aspc_drift_per_ps=None):
     """Beyond-parity extra: THREE-level r-RESPA on the headline box
     (md/integrators.respa3_velocity_verlet_step): the three-body PIP -
-    ~45% of an evaluation - kicks at the 0.8 fs OUTER step, the remaining
+    ~45% of an evaluation - kicks at the 1.2 fs OUTER step, the remaining
     intermolecular terms (2b/dispersion/polarization-PME, ASPC closure on
     the middle rung) at 0.4 fs, the Partridge-Schwenke monomer term at
     0.2 fs. ns/day is the figure of merit (steps below are OUTER steps).
+    Ladder sweep on chip (r3): mid=2 11.1 ns/day (drift -14/ps), mid=3
+    12.8 (-18/ps), mid=4 14.9 (-78/ps, at the gate edge) - mid=3 is the
+    default operating point.
 
     drift_gate_ok compares NVE drift PER SIMULATED TIME against the
     measured single-step ASPC baseline (1.5x + 10 kJ/mol/ps floor) - the

@@ -312,6 +312,17 @@ def test_builder_renders_respa_integrator(tmp_path):
     assert 'MTSVerletIntegrator(0.4*unit.femtoseconds, innerSteps=2)' in r.stdout
     ast.parse(r.stdout)
 
+    # respa_mid > 1 renders the three-level ladder
+    ini = os.path.join(REPO, 'examples', 'example_ini',
+                       'mbpol_bulk_nve_respa3.ini')
+    r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
+                        ini], capture_output=True, text=True,
+                       env=dict(os.environ, PYTHONPATH=REPO))
+    assert r.returncode == 0, r.stderr
+    assert ('MTSVerletIntegrator(1.2*unit.femtoseconds, innerSteps=2, '
+            'midSteps=3)') in r.stdout
+    ast.parse(r.stdout)
+
     # control: the plain NVE INI keeps the single-timestep integrator
     ini = os.path.join(REPO, 'examples', 'example_ini', 'mbpol_bulk_nve.ini')
     r = subprocess.run([sys.executable, os.path.join(REPO, 'bin', 'mbpol_builder'),
