@@ -246,9 +246,17 @@ def test_remd_validates_ladder():
     sys_, pos = fixtures.load_system('water3')
     pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff', cutoff=0.9))
     with pytest.raises(ValueError):
-        remd.REMDSimulation(pot, temperatures=[300.0])
+        remd.REMDSimulation(pot, temperatures=[])
     with pytest.raises(ValueError):
         remd.REMDSimulation(pot, temperatures=[300.0, 300.0])
+    # R = 1 is a valid degenerate ladder (the single-replica baseline for
+    # ladder_efficiency): identity exchanges, same vmapped machinery
+    sim = remd.REMDSimulation(pot, temperatures=[300.0])
+    sim.set_positions(pos)
+    sim.set_velocities_to_temperature()
+    out = sim.run(2)
+    assert np.isfinite(out['potential_energy']).all()
+    assert out['acceptance'].shape == (0,) or not np.any(out['acceptance'])
 
 
 def test_geometric_ladder():
