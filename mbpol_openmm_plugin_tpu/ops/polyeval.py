@@ -169,7 +169,17 @@ def _quad_factor_indices(name):
 def quad_basis(x, name):
     """Degree-<=2 basis monomials by exact products: a static column
     permutation (gather) of the augmented variables, multiplied pairwise.
-    Exact in f32 (one product rounding), no transcendentals, no matmuls."""
+    Exact in f32 (one product rounding), no transcendentals, no matmuls.
+
+    Measured alternative (round 3, chip): the same selection as one-hot
+    HIGHEST matmuls (xa @ A * xa @ B, bit-identical) is 32% FASTER
+    standalone (0.75 vs 1.11 ms at the 23.9k-triplet batch) but 1.7x
+    SLOWER inside the fused MD evaluation (three-body marginal 1.84 ->
+    3.07 ms/step): XLA fuses the lane-gathers with the surrounding
+    variable construction and W contraction, and the matmul form breaks
+    that fusion. Standalone PIP micro-benchmarks do not predict in-graph
+    cost - measure the term marginal (tools/step_breakdown.py) before
+    touching this."""
     idx_a, idx_b = _quad_factor_indices(name)
     xa = jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
     return jnp.take(xa, jnp.asarray(idx_a), axis=-1) \
