@@ -498,6 +498,30 @@ class Simulation:
                 e, _, _, _ = self.potential._energy_forces_impl(p, box=box)
                 return e
 
+        n_groups = n_steps // group if group > 0 else 0
+        if n_groups > 4 and n_steps % group == 0:
+            # one traced group body (inner scan [+ barostat volume move]),
+            # scanned n_steps/group times - the compiled graph size stays
+            # independent of the report interval (PIMD _chunk_impl
+            # semantics). The unrolled loop below otherwise emits one copy
+            # of the group graph PER GROUP: a 5000-step NPT chunk at
+            # barostat_interval=25 produced ~33 MB of MLIR and stalled
+            # compilation (measured round 3).
+            def gbody(carry, _):
+                s, m, b, ov = carry
+                s, m, pe, o = scan_group(s, m, group)
+                if is_baro:
+                    s, b = I.monte_carlo_barostat_move_adaptive(
+                        self.system, energy_at, s, cfg.temperature,
+                        cfg.barostat_pressure, b)
+                return (s, m, b, ov | o), pe
+
+            (state, mu, baro, nl_ovf), pes_g = jax.lax.scan(
+                gbody, (state, mu, baro, jnp.zeros((), bool)), None,
+                length=n_groups)
+            ke_end = I.kinetic_energy(self.system, state.velocities)
+            return state, baro, pes_g.reshape(-1), ke_end, nl_ovf
+
         pes = []
         done = 0
         nl_ovf = jnp.zeros((), bool)

@@ -278,3 +278,60 @@ def test_auto_nlist_requires_skin():
     import pytest
     with pytest.raises(ValueError, match='auto'):
         sim.step(2)
+
+
+def test_scanned_groups_match_unrolled_chunks():
+    """Long report intervals run the group body under ONE lax.scan instead
+    of Python-unrolling a copy of the graph per group (a 5000-step NPT
+    chunk at barostat_interval=25 otherwise emits ~33 MB of MLIR and
+    stalls compilation). The scanned path must be bit-identical to the
+    unrolled one: same seed, same group sequence, only the chunking
+    differs. Covered for both group sources - NPT barostat groups and
+    neighbor-list reuse groups.
+
+    scf_warm_start=False: the warm-start dipole seed is re-converged at
+    every chunk entry, so warm-started trajectories were never bitwise
+    chunking-invariant (differences within target_epsilon) - cold-start
+    SCF makes every evaluation chunk-independent and the comparison
+    exact."""
+    import fixtures
+    sys_, pos = fixtures.load_system('water50', box=[1.8, 1.8, 1.8])
+
+    def run_npt(report_interval):
+        pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.85,
+                                      target_epsilon=1e-6))
+        sim = Simulation(pot, SimulationConfig(dt=0.0002, temperature=300.0,
+                                               thermostat='andersen',
+                                               scf_warm_start=False,
+                                               barostat_pressure=1.01325,
+                                               barostat_interval=2), seed=3)
+        sim.set_positions(pos)
+        sim.set_velocities_to_temperature(300.0)
+        m = sim.step(20, report_interval=report_interval, check_health=False)
+        return m, np.asarray(sim.state.positions), np.asarray(sim.state.box)
+
+    m_s, p_s, b_s = run_npt(20)      # 10 groups of 2 -> scanned
+    m_u, p_u, b_u = run_npt(4)       # chunks of 2 groups -> unrolled
+    # one-ulp tolerance: the scanned body and the unrolled copies are
+    # different compiled programs and XLA may schedule an fma differently
+    np.testing.assert_allclose(p_s, p_u, atol=1e-12)
+    np.testing.assert_allclose(b_s, b_u, atol=1e-12)
+    np.testing.assert_allclose(m_s['potential_energy'][-1],
+                               m_u['potential_energy'][-1], rtol=1e-12)
+
+    def run_reuse(report_interval):
+        pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.45,
+                                      target_epsilon=1e-6, nlist_skin=0.05))
+        pot.tune_capacities(pos)
+        sim = Simulation(pot, SimulationConfig(dt=0.0002, temperature=None,
+                                               scf_warm_start=False,
+                                               nlist_rebuild_interval=3),
+                         seed=5)
+        sim.set_positions(pos)
+        sim.set_velocities_to_temperature(200.0)
+        sim.step(report_interval and 18, report_interval=report_interval)
+        return np.asarray(sim.state.positions)
+
+    p_s = run_reuse(18)              # 6 groups of 3 -> scanned
+    p_u = run_reuse(6)               # chunks of 2 groups -> unrolled
+    np.testing.assert_allclose(p_s, p_u, atol=1e-12)
