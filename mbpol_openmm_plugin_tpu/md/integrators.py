@@ -299,8 +299,16 @@ def monte_carlo_barostat_move(system: System, energy_fn, state: MDState,
     pos_new = state.positions + shift[mol]
     box_new = state.box * length_scale
 
+    # BOTH sides of the Metropolis weight from the SAME energy function:
+    # state.potential_energy comes from the trajectory's SCF closure (with
+    # scf='auto' dynamics that is one ASPC corrector), while energy_fn is
+    # a cold-start fully-converged evaluation. Mixing the two conventions
+    # puts their systematic offset into w - measured round 3: every move
+    # rejected, the adaptive scale collapsed, and a 50 ps water256 NPT run
+    # froze at constant volume. One extra converged evaluation per
+    # barostat_interval (~4% at interval 25) buys an unbiased weight.
     e_new = energy_fn(pos_new, box_new)
-    e_old = state.potential_energy
+    e_old = energy_fn(state.positions, state.box)
     n_mol = nmol
     w = e_new - e_old + p_int * dv - n_mol * kT * jnp.log(new_vol / vol)
     accept = (w <= 0) | (jax.random.uniform(k2) < jnp.exp(-w / kT))

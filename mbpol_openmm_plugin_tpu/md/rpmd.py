@@ -388,8 +388,11 @@ def rpmd_barostat_move(system: System, bead_energy_fn, state: MDState,
     pos_new = state.positions + shift[mol][None]
     box_new = state.box * s
 
+    # both sides of the weight from the same bead_energy_fn - the carried
+    # potential_energy may come from a different SCF convention than the
+    # trial evaluation (integrators.monte_carlo_barostat_move rationale)
     e_new = bead_energy_fn(pos_new, box_new)
-    e_old = state.potential_energy
+    e_old = bead_energy_fn(state.positions, state.box)
     w = (jnp.mean(e_new - e_old) + p_int * dv
          - nmol * kT * jnp.log(new_vol / vol))
     accept = (w <= 0) | (jax.random.uniform(k2) < jnp.exp(-w / kT))

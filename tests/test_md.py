@@ -335,3 +335,35 @@ def test_scanned_groups_match_unrolled_chunks():
     p_s = run_reuse(18)              # 6 groups of 3 -> scanned
     p_u = run_reuse(6)               # chunks of 2 groups -> unrolled
     np.testing.assert_allclose(p_s, p_u, atol=1e-12)
+
+
+def test_npt_barostat_volume_moves_under_aspc_default():
+    """Round-3 regression: with the ASPC dynamics default, the MC
+    barostat compared a closure-convention e_old (state.potential_energy)
+    against a fully-converged e_new - the systematic offset rejected
+    every move, the adaptive scale collapsed, and a 50 ps water256 NPT
+    run froze at constant volume. Both sides now come from the same
+    energy function; the volume must keep moving and the acceptance
+    counters must not collapse."""
+    import fixtures
+    sys_, pos = fixtures.load_system('water50', box=[1.8, 1.8, 1.8])
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.85,
+                                  target_epsilon=1e-5))
+    sim = Simulation(pot, SimulationConfig(dt=0.0002, temperature=300.0,
+                                           thermostat='langevin',
+                                           barostat_pressure=1.01325,
+                                           barostat_interval=5), seed=7)
+    assert sim.potential.config.scf_method == 'aspc'   # the default swap
+    sim.set_positions(pos)
+    sim.set_velocities_to_temperature(300.0)
+    vols = []
+    for _ in range(6):
+        sim.step(50, report_interval=50, check_health=False)
+        b = np.asarray(sim.state.box)
+        vols.append(float(b[0] * b[1] * b[2]))
+    vols = np.asarray(vols)
+    # 60 volume-move attempts: the trajectory must explore volume space
+    assert np.std(vols) > 1e-4, vols
+    # and the adaptive move size must not have collapsed toward zero
+    scale = float(np.asarray(sim._baro[0]))
+    assert scale > 1e-4 * vols[-1], (scale, vols)
