@@ -9,10 +9,11 @@ is the speedup over the reference-equivalent single-thread CPU evaluation
 (denominator recorded in BASELINE_LOCAL.json by tools/measure_cpu_baseline.py;
 the reference itself publishes no numbers - SURVEY section 6).
 
-Three numbers are emitted: the 100-step protocol figure from the converged
-fixture (the headline `value`, comparable across rounds), and two
-thermalized steady-state figures - the physically honest operating points
-after ~1 ps of dynamics:
+Three numbers are emitted: the thermalized 1000-step steady-state ASPC
+figure (the headline `value` since round 4 - the operating point that
+survives long runs), the 100-step protocol figure from the converged
+fixture (protocol_100step_*, comparable against rounds 1-3 headlines),
+and the SOR steady state:
   - steady_state_sor: reference semantics, SOR iterated to target_epsilon
     every step (2+ warm iterations);
   - steady_state_aspc: Kolafa ASPC closure (scf_method='aspc': dipole
@@ -265,6 +266,15 @@ def build(dtype_bits=32, scf_mode='sor'):
     return (state, mu_hist0), bench, float(e0)
 
 
+def drift_K_per_ns(drift_kJmol, window_ps, ndof):
+    """Energy drift expressed as the heating rate production MD engines
+    quote: Delta E / ((3N/2) k_B) per nanosecond. ndof = 3 x real atoms."""
+    if window_ps <= 0:
+        return None
+    kB = 0.008314462618           # kJ/mol/K
+    return drift_kJmol / (0.5 * ndof * kB) / (window_ps * 1e-3)
+
+
 def _steady(bench, carry, therm_steps, steady_steps):
     """Thermalize (hot chunks), measure (hot chunks, timed), then sample one
     instrumented chunk for SCF/overflow diagnostics."""
@@ -284,12 +294,16 @@ def _steady(bench, carry, therm_steps, steady_steps):
     pes = np.concatenate(all_pes)
     cap_ok = bench.list_capacity_ok(carry)
     carry, diag = bench.instrumented(carry, N_STEPS)   # untimed sample
+    drift = float(pes[-1] - pes[0]) + (ke_end - ke_start)
+    window_ps = len(pes) * DT_FS * 1e-3
+    ndof = 3 * int(np.sum(bench.masses > 0))
     return carry, dict(
         steps_per_second=round(len(pes) / s_elapsed, 3),
         n_steps=len(pes),
         mean_scf_iters=diag['mean_scf_iters'],
         scf_converged_frac=diag['scf_converged_frac'],
-        etot_drift_kJmol=round(float(pes[-1] - pes[0]) + (ke_end - ke_start), 3),
+        etot_drift_kJmol=round(drift, 3),
+        drift_K_per_ns=round(drift_K_per_ns(drift, window_ps, ndof), 1),
         nan_detected=bool(np.isnan(pes).any() or np.isnan(diag['pes']).any()),
         neighbor_overflow=bool(ovf or diag['neighbor_overflow'] or not cap_ok))
 
@@ -436,7 +450,16 @@ def _remd_cluster_figure(n_replicas=8):
     ladder genuinely rides the chip's batching headroom - a 14-molecule
     cluster underfills every unit, so R replicas cost ~1 replica's wall
     time. ladder_efficiency here is replica_steps/s / (R x measured
-    single-replica steps/s on the same machinery, R=1)."""
+    single-replica steps/s on the same machinery, R=1).
+
+    Ladder (r3 verdict weak #3): the old 250-400 K 8-rung ladder exchanged
+    at ~1.0 - over-dense, demonstrating throughput but not a tuned ladder.
+    The span is now sized for the ~25-45% neighbor-acceptance band the
+    REMD literature targets (126 dof make water14 need ~15%/rung spacing),
+    the acceptance sample comes from BENCH_REMD_CLUSTER_BLOCKS (default
+    40, i.e. 20 attempts/pair, vs the old 4), and replica flow is reported
+    as round trips (md/remd.round_trip_stats) - the quantity that actually
+    measures cold-ensemble decorrelation."""
     import jax.numpy as jnp
 
     from mbpol_openmm_plugin_tpu.md import remd
@@ -450,11 +473,13 @@ def _remd_cluster_figure(n_replicas=8):
                                                   jnp.float32))
     pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff',
                                   target_epsilon=1e-3, max_iterations=200))
-    n_blocks = int(os.environ.get('BENCH_REMD_BLOCKS', 4))
+    n_blocks = int(os.environ.get('BENCH_REMD_CLUSTER_BLOCKS', 40))
+    t_min = float(os.environ.get('BENCH_REMD_T_MIN', 180.0))
+    t_max = float(os.environ.get('BENCH_REMD_T_MAX', 480.0))
 
     def run_ladder(r):
         sim = remd.REMDSimulation(
-            pot, temperatures=remd.geometric_ladder(250.0, 400.0, r),
+            pot, temperatures=remd.geometric_ladder(t_min, t_max, r),
             config=remd.REMDConfig(dt=2e-4, exchange_interval=25), seed=0)
         sim.set_positions(pos)
         sim.set_velocities_to_temperature()
@@ -467,11 +492,19 @@ def _remd_cluster_figure(n_replicas=8):
     out, steps, elapsed = run_ladder(n_replicas)
     single_sps = steps1 / el1
     rsps = steps * n_replicas / elapsed
+    acc = np.asarray(out['acceptance'], np.float64)
+    flow = remd.round_trip_stats(out['walker'])
     return dict(replica_steps_per_second=round(rsps, 3),
                 n_replicas=n_replicas, n_steps=steps,
+                t_range_K=[t_min, t_max],
                 single_steps_per_second=round(single_sps, 3),
                 ladder_efficiency=round(rsps / (n_replicas * single_sps), 3),
-                acceptance=[round(float(a), 3) for a in out['acceptance']],
+                acceptance=[round(float(a), 3) for a in acc],
+                acceptance_mean=round(float(acc.mean()), 3),
+                acceptance_in_band=bool(0.15 <= float(acc.mean()) <= 0.55),
+                round_trips_total=flow['round_trips_total'],
+                blocks_per_round_trip=flow['blocks_per_round_trip'],
+                slot_flow=flow['slot_flow'],
                 nan_detected=bool(np.isnan(out['potential_energy']).any()))
 
 
@@ -543,18 +576,26 @@ def _respa_figure(n_mid=3, n_inner=2, aspc_drift_per_ps=None):
     else:
         e_end, nan2 = float(etot[-1]), False
     drift = e_end - e_start
-    drift_per_ps = drift / ((n + n_drift) * dt_outer)
-    gate = None
-    if aspc_drift_per_ps is not None:
-        gate = bool(abs(drift_per_ps)
-                    <= 1.5 * abs(aspc_drift_per_ps) + 10.0)
+    window_ps = (n + n_drift) * dt_outer
+    drift_per_ps = drift / window_ps
+    ndof = 3 * 3 * 256              # real atoms only (M sites massless)
+    dkns = drift_K_per_ns(drift, window_ps, ndof)
+    # ABSOLUTE drift budget (r3 verdict weak #1: the old gate compared
+    # against the ASPC baseline's own short-window drift - a moving
+    # anchor). The budget is in the units production engines quote;
+    # tools/nve_drift.py measures the long-horizon number this short
+    # window estimates.
+    budget = float(os.environ.get('BENCH_DRIFT_BUDGET_K_PER_NS', 60.0))
+    gate = bool(abs(dkns) <= budget)
     return dict(outer_steps_per_second=round(sps, 3),
                 n_mid=n_mid, n_inner=n_inner, n_steps=n,
                 outer_dt_fs=round(dt_outer * 1e3, 3),
                 ns_per_day=round(sps * dt_outer * 1e-3 * 86400.0, 4),
                 etot_drift_kJmol=round(drift, 3),
-                drift_window_ps=round((n + n_drift) * dt_outer, 4),
+                drift_window_ps=round(window_ps, 4),
                 drift_per_ps_kJmol=round(drift_per_ps, 3),
+                drift_K_per_ns=round(dkns, 1),
+                drift_budget_K_per_ns=budget,
                 aspc_drift_per_ps_kJmol=(None if aspc_drift_per_ps is None
                                          else round(aspc_drift_per_ps, 3)),
                 drift_gate_ok=gate,
@@ -583,7 +624,7 @@ def main():
     mfu = None
     try:
         fl, by = bench.cost_per_step(carry0, N_STEPS)
-        peak_f32h, peak_bf16, hbm = 197.0e12 / 6.0, 197.0e12, 819.0e9
+        peak_f32h, peak_bf16 = 197.0e12 / 6.0, 197.0e12
         ach = fl * steps_per_s
         mfu = dict(flops_per_step_G=round(fl / 1e9, 2),
                    bytes_per_step_MB=round(by / 1e6, 2),
@@ -591,13 +632,14 @@ def main():
                    achieved_GBps=round(by * steps_per_s / 1e9, 1),
                    mfu_vs_f32_highest_peak=round(ach / peak_f32h, 3),
                    mfu_vs_bf16_peak=round(ach / peak_bf16, 3),
-                   # 'bytes accessed' counts pre-fusion operand/result
-                   # bytes, so this over-counts true HBM traffic (VMEM
-                   # fusion temporaries included) - an upper bound, can
-                   # exceed 1.0
-                   hbm_bound_utilization=round(by * steps_per_s / hbm, 3),
+                   # achieved_GBps divides PRE-fusion 'bytes accessed' by
+                   # wall time - an upper bound on HBM traffic (VMEM fusion
+                   # temporaries are counted), NOT a roofline utilization;
+                   # the r3 'hbm_bound_utilization' field (>1 by
+                   # construction) is dropped for exactly that reason
                    peak_assumption='v5e: bf16 197 TFLOP/s; f32-HIGHEST '
-                                   '= bf16/6; HBM 819 GB/s')
+                                   '= bf16/6; HBM 819 GB/s '
+                                   '(bytes pre-fusion upper bound)')
     except Exception as exc:          # accounting must never kill the bench
         mfu = dict(error=repr(exc)[:200])
 
@@ -645,18 +687,25 @@ def main():
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  'BASELINE_LOCAL.json')
     vs_baseline = None
+    # HEADLINE = the 1000-step thermalized steady-state ASPC figure (r3
+    # verdict weak #4: the number that survives long runs, not the cold-ish
+    # 100-step protocol figure - which stays below as an extra).
+    headline = aspc['steps_per_second']
     if os.path.exists(baseline_file):
         with open(baseline_file) as f:
             base = json.load(f)
         cpu_steps_per_s = base.get('water256_pme_cpu_steps_per_second')
         if cpu_steps_per_s:
-            vs_baseline = steps_per_s / cpu_steps_per_s
+            vs_baseline = headline / cpu_steps_per_s
 
     print(json.dumps(dict(
         metric='water256_pme_md_steps_per_second',
-        value=round(steps_per_s, 3), unit='steps/s',
+        value=round(headline, 3), unit='steps/s',
         vs_baseline=round(vs_baseline, 2) if vs_baseline else None,
-        extra=dict(ns_per_day_at_0p2fs=round(ns_per_day, 4),
+        extra=dict(protocol_100step_steps_per_second=round(steps_per_s, 3),
+                   ns_per_day_at_0p2fs=round(
+                       headline * DT_FS * 1e-6 * 86400.0, 4),
+                   protocol_100step_ns_per_day=round(ns_per_day, 4),
                    initial_energy_kJmol=round(e0, 2),
                    # Hardware-correctness gate: the converged fixture's total
                    # energy must hit the reference integration golden

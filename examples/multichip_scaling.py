@@ -66,7 +66,7 @@ plan = plan_capacities(N_WATERS, box, n_devices=N_DEV, config=cfg,
 print(plan.describe(), flush=True)
 
 mesh = M.make_mesh(N_DEV)
-pot = plan.apply(MBPol(sys_, cfg, mesh=mesh))
+pot = MBPol(sys_, cfg, mesh=mesh, plan=plan)
 
 with mesh:
     t0 = time.time()

@@ -47,6 +47,46 @@ def geometric_ladder(t_min, t_max, n_replicas):
     return np.geomspace(float(t_min), float(t_max), int(n_replicas))
 
 
+def round_trip_stats(walkers):
+    """Replica-flow diagnostics from the per-block walker array
+    [n_blocks, R] (walker id occupying each ladder slot).
+
+    A ROUND TRIP is one walker traveling bottom slot -> top slot -> bottom
+    - the quantity that actually measures how fast REMD decorrelates the
+    cold ensemble (an over-dense ladder can show near-1.0 acceptance yet
+    mix slowly; r3 verdict weak #3). Returns a dict:
+      round_trips_total: completed round trips summed over walkers;
+      blocks_per_round_trip: n_blocks * R / trips (None when trips == 0 -
+        report the window as a lower bound instead of a fake number);
+      slot_flow: mean |slot change| per walker per block - a
+        short-window mixing proxy that converges long before the first
+        full round trip.
+    """
+    w = np.asarray(walkers)
+    n_blocks, R = w.shape
+    # slot of each walker over time: slot_of[b, walker] = slot
+    slot_of = np.empty_like(w)
+    rows = np.arange(n_blocks)[:, None]
+    slot_of[rows, w] = np.arange(R)[None, :]
+    trips = 0
+    # state machine per walker: 0 = needs top, 1 = needs bottom (armed at
+    # the bottom slot; a trip completes on returning to the bottom)
+    phase = np.where(slot_of[0] == 0, 0, -1)   # -1 = not yet armed
+    for b in range(1, n_blocks):
+        s = slot_of[b]
+        phase = np.where((phase == -1) & (s == 0), 0, phase)
+        phase = np.where((phase == 0) & (s == R - 1), 1, phase)
+        done = (phase == 1) & (s == 0)
+        trips += int(done.sum())
+        phase = np.where(done, 0, phase)
+    flow = float(np.abs(np.diff(slot_of, axis=0)).mean()) if n_blocks > 1 \
+        else 0.0
+    return dict(round_trips_total=int(trips),
+                blocks_per_round_trip=(None if trips == 0 else
+                                       round(n_blocks * R / trips, 1)),
+                slot_flow=round(flow, 4))
+
+
 def exchange_permutation(potential_energies, temperatures, key, parity):
     """One Metropolis exchange sweep over neighbor pairs (r, r+1) with
     r % 2 == parity. Returns (perm [R] int32, accept [R] bool) where

@@ -813,23 +813,20 @@ class PIMDSimulation:
                             (self._mu_beads, self._hist_len, 1, 1))
         return jnp.tile(mu[None], (self._mu_beads, 1, 1))
 
-    def set_positions(self, positions, box=None, spread=0.0):
-        pos = jnp.asarray(positions)
-        self.state = initial_state(self.system, pos, self.n_beads,
-                                   self.temperature, self._key, box=box,
-                                   spread=spread)
-        self._nl = None          # reuse lists are reseeded lazily by step()
+    def _reseed_mu(self, dtype):
+        """Seed the dipole payload for the CURRENT self.state positions.
+        Warm start: zeros (they converge to the same fixed point; only the
+        first step pays extra SCF iterations). ASPC: the history must start
+        AT the fixed point - the single damped corrector only tracks it;
+        from a zero history it would relax over tens of steps with
+        transiently wrong forces (r3 advisor: the load_checkpoint
+        missing-'mu' fallback took the zero path). One fully-converged
+        cold-start evaluation of bead 0 seeds every history slot - a
+        constant history degenerates the predictor to that value (the B_j
+        sum to 1)."""
         if self._warm:
-            # warm-start dipoles: zeros converge to the same fixed point
-            # (only the very first step pays a few extra SCF iterations)
-            self._mu = self._mu_init(pos.dtype)
+            self._mu = self._mu_init(dtype)
         elif self._aspc:
-            # the ASPC history must start AT the fixed point (the single
-            # damped corrector only tracks it; from a zero history it
-            # would relax over tens of steps): one fully-converged
-            # cold-start evaluation of bead 0 seeds every history slot -
-            # a constant history degenerates the predictor to that value
-            # (the B_j sum to 1)
             if self._npt:
                 seed_eval = jax.jit(
                     lambda p, b: self._eval_pot._energy_forces_impl(
@@ -839,8 +836,15 @@ class PIMDSimulation:
             else:
                 _, _, _, diag0 = self._eval_pot._energy_forces(
                     self._to_eval(self.state.positions)[0])
-            self._mu = self._mu_init(pos.dtype,
-                                     diag0.get('induced_dipoles'))
+            self._mu = self._mu_init(dtype, diag0.get('induced_dipoles'))
+
+    def set_positions(self, positions, box=None, spread=0.0):
+        pos = jnp.asarray(positions)
+        self.state = initial_state(self.system, pos, self.n_beads,
+                                   self.temperature, self._key, box=box,
+                                   spread=spread)
+        self._nl = None          # reuse lists are reseeded lazily by step()
+        self._reseed_mu(pos.dtype)
         if self._npt:
             from mbpol_openmm_plugin_tpu.md.integrators import \
                 barostat_scale_init
@@ -1109,8 +1113,13 @@ class PIMDSimulation:
             rng=jnp.asarray(ck['rng']))
         self._nl = None          # reuse lists are reseeded lazily by step()
         if self._use_mu:
-            self._mu = (jnp.asarray(ck['mu']) if 'mu' in ck else
-                        self._mu_init(self.state.positions.dtype))
+            if 'mu' in ck:
+                self._mu = jnp.asarray(ck['mu'])
+            else:
+                # checkpoint predates the dipole payload: reseed exactly as
+                # set_positions does (converged evaluation under ASPC, not
+                # a zero history - r3 advisor finding)
+                self._reseed_mu(self.state.positions.dtype)
         if self._npt:
             if 'baro_scale' in ck:
                 self._baro_state = (jnp.asarray(ck['baro_scale']),

@@ -22,6 +22,25 @@ from mbpol_openmm_plugin_tpu.models.potential import MBPol
 from mbpol_openmm_plugin_tpu.utils import units
 
 
+_SCF_AUTO_LOGGED = False
+
+
+def _log_scf_auto_swap():
+    """One-time notice that scf='auto' replaced the potential's SOR loop
+    with the ASPC closure for the trajectory (r3 advisor finding: the
+    semantic swap was silent). Suppressed after the first Simulation in a
+    process - fleets of REMD/worker instances should not spam."""
+    global _SCF_AUTO_LOGGED
+    if not _SCF_AUTO_LOGGED:
+        _SCF_AUTO_LOGGED = True
+        import logging
+        logging.getLogger('mbpol_openmm_plugin_tpu').info(
+            "scf='auto': trajectory uses the Kolafa ASPC dipole closure "
+            "(near-conservative in NVE) instead of the potential's "
+            "loosely-converged SOR loop; pass SimulationConfig(scf='keep') "
+            "for reference SOR semantics along the trajectory")
+
+
 def health_flag(diag):
     """Scalar health flag from a diagnostics dict (SCF convergence, padded
     list overflow). Mirrors the reference's throw-on-bad-state checks
@@ -115,10 +134,13 @@ class Simulation:
             # conservative-dynamics default: swap the dissipative
             # loosely-converged SOR loop for the ASPC closure along the
             # trajectory (see SimulationConfig.scf); reference SOR
-            # semantics stay available with scf='keep'
+            # semantics stay available with scf='keep'. The swap is
+            # surfaced once per process (r3 advisor): it changes
+            # along-trajectory semantics vs the reference default.
             from mbpol_openmm_plugin_tpu.models.potential import \
                 with_scf_method
             self.potential = with_scf_method(potential, 'aspc')
+            _log_scf_auto_swap()
         self._key = jax.random.PRNGKey(seed)
         self.state: Optional[I.MDState] = None
         # adaptive barostat move size (scale, attempted, accepted) -
@@ -417,9 +439,14 @@ class Simulation:
             f_mid = None
             if respa3:
                 # mid + slow forces at the group's entry positions (also
-                # refreshed after a barostat volume move rescaled everything)
+                # refreshed after a barostat volume move rescaled everything).
+                # Under ASPC the seed is the SAME B_j-weighted extrapolation
+                # the in-scan evaluations use (r3 advisor: mu[0] gave the
+                # carried forces a different dipole convention at every
+                # group boundary).
                 _, pot_mid, pot_slow, _ = self._respa_split3()
-                mu_seed = mu[0] if (aspc and mu is not None) else mu
+                mu_seed = (jnp.einsum('h,hnd->nd', B, mu)
+                           if (aspc and mu is not None) else mu)
                 nl_arg = nlc[0] if auto_nl else nlists
                 _, f_mid, _, _ = pot_mid._energy_forces_impl(
                     state.positions, mu_seed if warm else None,
@@ -428,8 +455,10 @@ class Simulation:
                     state.positions, nlists=nl_arg, box=box)
             elif respa:
                 # slow forces at the group's entry positions (also refreshes
-                # them after a barostat volume move rescaled everything)
-                mu_seed = mu[0] if (aspc and mu is not None) else mu
+                # them after a barostat volume move rescaled everything);
+                # ASPC seed convention matches the in-scan predictor (above)
+                mu_seed = (jnp.einsum('h,hnd->nd', B, mu)
+                           if (aspc and mu is not None) else mu)
                 _, f_slow, _, _ = self._respa_split()[1]._energy_forces_impl(
                     state.positions, mu_seed if warm else None,
                     nlists=nlc[0] if auto_nl else nlists, box=box)

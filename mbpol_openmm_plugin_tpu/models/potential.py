@@ -77,6 +77,11 @@ class MBPolConfig:
     # and one-shot evaluations still converge fully)
     scf_method: str = 'sor'
     aspc_k: int = 3                  # ASPC predictor order (scf_method='aspc')
+    # ASPC corrector depth: SOR iterations on the predictor before the
+    # omega-mix. 1 = Kolafa's single corrector; deeper correctors shrink
+    # the dipole-lag NVE drift at ~one field evaluation per extra
+    # iteration (A/B harness: tools/nve_drift.py)
+    aspc_n_corr: int = 1
     thole: Optional[tuple] = None    # override [TCC,TCD,TDD,TDDOH,TDDHH]; default XML values
     # 'dense' ([N,N] tensors, exact at any cutoff), 'sparse' (molecule-pair
     # list direct space, O(N) memory - production boxes), 'block'
@@ -94,7 +99,8 @@ class MBPolConfig:
     terms: tuple = ('electrostatics', 'one_body', 'two_body', 'three_body', 'dispersion')
 
 
-def with_scf_method(pot: 'MBPol', method: str, aspc_k: Optional[int] = None):
+def with_scf_method(pot: 'MBPol', method: str, aspc_k: Optional[int] = None,
+                    aspc_n_corr: Optional[int] = None):
     """A new MBPol over the same topology/shapes with a different SCF
     closure ('sor' | 'diis' | 'aspc'). Single-point evaluations are
     physics-identical (every method converges a cold start to the same
@@ -110,6 +116,8 @@ def with_scf_method(pot: 'MBPol', method: str, aspc_k: Optional[int] = None):
     changes = dict(scf_method=method)
     if aspc_k is not None:
         changes['aspc_k'] = int(aspc_k)
+    if aspc_n_corr is not None:
+        changes['aspc_n_corr'] = int(aspc_n_corr)
     new.config = dataclasses.replace(pot.config, **changes)
     new.elec_params = dataclasses.replace(pot.elec_params, **changes)
     new.__dict__.pop('_nl_jit', None)
@@ -147,7 +155,7 @@ class MBPol:
     """
 
     def __init__(self, system: System, config: MBPolConfig = MBPolConfig(),
-                 mesh=None):
+                 mesh=None, plan=None):
         if config.nonbonded_method not in ('NoCutoff', 'PME'):
             raise ValueError(config.nonbonded_method)
         if config.nonbonded_method == 'PME' and not system.periodic:
@@ -175,7 +183,8 @@ class MBPol:
                 target_epsilon=config.target_epsilon,
                 max_iterations=config.max_iterations,
                 scf_method=config.scf_method,
-                aspc_k=config.aspc_k)
+                aspc_k=config.aspc_k,
+                aspc_n_corr=config.aspc_n_corr)
             if config.thole is not None:
                 self.elec_params = dataclasses.replace(
                     self.elec_params, thole=np.asarray(config.thole))
@@ -295,8 +304,49 @@ class MBPol:
                 self.trip_cap = M.round_up(self.trip_cap, ndev)
                 self.pair_eval_cap = M.round_up(self.pair_eval_cap, ndev)
                 self.trip_eval_cap = M.round_up(self.trip_eval_cap, ndev)
+        if plan is not None:
+            # parallel.plan.CapacityPlan: every static capacity sized up
+            # front for an (n_devices, N) run - the public path (the old
+            # CapacityPlan.apply() mutated these attributes post hoc)
+            self._apply_plan(plan)
         self._energy_forces = jax.jit(self._energy_forces_impl)
         self._energy_forces_warm = jax.jit(self._energy_forces_impl)
+
+    def _apply_plan(self, plan):
+        """Adopt a parallel.plan.CapacityPlan's static shapes (constructor
+        path; runs before the jit wrappers are built)."""
+        nd = 1 if self.mesh is None else self.mesh.devices.size
+        if nd != plan.n_devices:
+            raise ValueError(f'plan is for {plan.n_devices} devices, '
+                             f'potential mesh has {nd}')
+        if self.system.n_waters != plan.n_waters:
+            raise ValueError('plan/potential water count mismatch')
+        if not self.use_neighbor_lists:
+            return                       # dense small-system path: nothing
+        self.pair_cap = plan.pair_cap    # to size beyond the defaults
+        self.trip_cap = plan.trip_cap
+        if self.compact_eval and self.config.nlist_skin > 0:
+            # physical-cutoff eval buffers (tune_capacities semantics)
+            self.pair_eval_cap = getattr(plan, 'pair_eval_cap', None) \
+                or plan.pair_cap
+            self.trip_eval_cap = getattr(plan, 'trip_eval_cap', None) \
+                or plan.trip_cap
+        else:
+            self.pair_eval_cap, self.trip_eval_cap = (self.pair_cap,
+                                                      self.trip_cap)
+        self.nlist_k_max = plan.nlist_k_max
+        self.nlist_kt = plan.nlist_kt
+        if plan.elec_pair_cap and self.elec_mode == 'sparse':
+            self.elec_pair_cap = plan.elec_pair_cap
+        if plan.disp_pair_cap and self.disp_mode == 'pairs' \
+                and self.disp_pair_cap is not None:
+            self.disp_pair_cap = plan.disp_pair_cap
+        if plan.tile_pair_capacity and self.elec_mode == 'block':
+            self._set_block_perm(
+                plan.site_perm if plan.site_perm is not None
+                else self._block_info['site_perm'],
+                plan.tile_pair_capacity,
+                cap_local=plan.tile_pair_capacity_local)
 
     # ------------------------------------------------------------------
     def _set_block_perm(self, site_perm, cap, cap_local=None):
@@ -535,13 +585,21 @@ class MBPol:
             max_nbr = int(np.bincount(pairs3.ravel(), minlength=n_w).max())
         else:
             max_nbr = 0
-        self.nlist_k_max = min(max(int(np.ceil(1.3 * max_nbr)) + 2, 8),
+        # The per-center factors must scale with `margin` like the global
+        # caps do: a caller asking for long-run headroom (margin 1.6) got
+        # the same fixed 1.3x/1.4x per-center bounds as the default, and a
+        # 50 ps 320 K run overflowed k_max on a density fluctuation ~10 ps
+        # in while the global caps still had room (measured round 4,
+        # tools/nve_drift.py).
+        f_k = max(1.3, float(margin))
+        f_kt = max(1.4, float(margin))
+        self.nlist_k_max = min(max(int(np.ceil(f_k * max_nbr)) + 2, 8),
                                max(n_w - 1, 1))
         if len(trips_np):
             max_ct = int(np.bincount(trips_np[:, 1], minlength=n_w).max())
         else:
             max_ct = 0
-        self.nlist_kt = min(int(np.ceil(1.4 * max_ct)) + 8,
+        self.nlist_kt = min(int(np.ceil(f_kt * max_ct)) + 8,
                             self.nlist_k_max * (self.nlist_k_max - 1) // 2)
         if self.compact_eval and skin > 0:
             _, n_pe = native.pair_list(o, box, self.config.cutoff_2b)

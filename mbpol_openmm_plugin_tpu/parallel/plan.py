@@ -42,6 +42,11 @@ class CapacityPlan:
     # padded-list capacities (global; each a multiple of n_devices)
     pair_cap: int
     trip_cap: int
+    # compacted evaluation buffers, sized at the PHYSICAL cutoffs (no skin;
+    # tune_capacities semantics - r3 advisor: planning them at the
+    # skin-inflated list capacities oversized every compacted PIP batch)
+    pair_eval_cap: int
+    trip_eval_cap: int
     nlist_k_max: int
     nlist_kt: Optional[int]
     elec_pair_cap: Optional[int]          # sparse mode
@@ -73,6 +78,8 @@ class CapacityPlan:
             f'{self.disp_mode}   PME grid: {self.pme_grid}',
             f'  pair capacity {self.pair_cap}  triplet capacity '
             f'{self.trip_cap}  (k_max {self.nlist_k_max}, kt {self.nlist_kt})',
+            f'  eval buffers (physical cutoffs): pairs {self.pair_eval_cap} '
+            f' triplets {self.trip_eval_cap}',
         ]
         if self.elec_pair_cap:
             lines.append(f'  elec molecule-pair capacity {self.elec_pair_cap}')
@@ -86,36 +93,16 @@ class CapacityPlan:
         return '\n'.join(lines)
 
     def apply(self, pot):
-        """Push the planned capacities into a constructed MBPol (same
-        topology; the potential's mesh device count must match). Returns
-        the potential with refreshed jit wrappers."""
-        import jax
-        nd = 1 if pot.mesh is None else pot.mesh.devices.size
-        if nd != self.n_devices:
-            raise ValueError(f'plan is for {self.n_devices} devices, '
-                             f'potential mesh has {nd}')
-        if pot.system.n_waters != self.n_waters:
-            raise ValueError('plan/potential water count mismatch')
-        pot.pair_cap = self.pair_cap
-        pot.trip_cap = self.trip_cap
-        pot.pair_eval_cap = self.pair_cap
-        pot.trip_eval_cap = self.trip_cap
-        pot.nlist_k_max = self.nlist_k_max
-        pot.nlist_kt = self.nlist_kt
-        if self.elec_pair_cap and getattr(pot, 'elec_mode', '') == 'sparse':
-            pot.elec_pair_cap = self.elec_pair_cap
-        if self.disp_pair_cap and getattr(pot, 'disp_mode', '') == 'pairs' \
-                and pot.disp_pair_cap is not None:
-            pot.disp_pair_cap = self.disp_pair_cap
-        if self.tile_pair_capacity and getattr(pot, 'elec_mode', '') == 'block':
-            pot._set_block_perm(
-                self.site_perm if self.site_perm is not None
-                else pot._block_info['site_perm'],
-                self.tile_pair_capacity,
-                cap_local=self.tile_pair_capacity_local)
-        pot._energy_forces = jax.jit(pot._energy_forces_impl)
-        pot._energy_forces_warm = jax.jit(pot._energy_forces_impl)
-        return pot
+        """DEPRECATED: build the potential with the plan instead -
+        ``MBPol(system, config, mesh=mesh, plan=plan)``. This shim
+        constructs that potential for you (it does NOT mutate `pot`);
+        use the return value."""
+        import warnings
+        warnings.warn(
+            'CapacityPlan.apply(pot) is deprecated; pass the plan to the '
+            'constructor: MBPol(system, config, mesh=mesh, plan=plan)',
+            DeprecationWarning, stacklevel=2)
+        return type(pot)(pot.system, pot.config, mesh=pot.mesh, plan=self)
 
 
 def plan_capacities(n_waters, box, n_devices=1, config=None, positions=None,
@@ -150,11 +137,20 @@ def plan_capacities(n_waters, box, n_devices=1, config=None, positions=None,
         pairs3, _ = native.pair_list(o, box, cfg.cutoff_3b + skin)
         max_nbr = (int(np.bincount(pairs3.ravel(), minlength=n_waters).max())
                    if len(pairs3) else 0)
-        k_max = min(max(int(np.ceil(1.3 * max_nbr)) + 2, 8),
+        # per-center factors scale with margin like the global caps
+        # (tune_capacities semantics; see models/potential.py)
+        f_k = max(1.3, float(margin))
+        f_kt = max(1.4, float(margin))
+        k_max = min(max(int(np.ceil(f_k * max_nbr)) + 2, 8),
                     max(n_waters - 1, 1))
         max_ct = (int(np.bincount(trips_np[:, 1], minlength=n_waters).max())
                   if len(trips_np) else 0)
-        kt = min(int(np.ceil(1.4 * max_ct)) + 8, k_max * (k_max - 1) // 2)
+        kt = min(int(np.ceil(f_kt * max_ct)) + 8, k_max * (k_max - 1) // 2)
+        # compacted eval buffers at the PHYSICAL cutoffs (no skin)
+        _, n_pe = native.pair_list(o, box, cfg.cutoff_2b)
+        _, n_te = native.triplet_list(o, box, cfg.cutoff_3b)
+        pair_eval_cap = min(max(int(margin * n_pe) + 16, 64), pair_cap)
+        trip_eval_cap = min(max(int(margin * n_te) + 32, 128), trip_cap)
     else:
         pair_cap = neighbors.pair_capacity(n_waters, box,
                                            cfg.cutoff_2b + skin, factor=f)
@@ -162,8 +158,14 @@ def plan_capacities(n_waters, box, n_devices=1, config=None, positions=None,
                                               cfg.cutoff_3b + skin, factor=f)
         k_max = neighbors.max_neighbors(n_waters, box, cfg.cutoff_3b + skin)
         kt = None
+        pair_eval_cap = min(neighbors.pair_capacity(
+            n_waters, box, cfg.cutoff_2b, factor=f), pair_cap)
+        trip_eval_cap = min(neighbors.triplet_capacity(
+            n_waters, box, cfg.cutoff_3b, factor=f), trip_cap)
     pair_cap = _round_up(pair_cap, n_devices)
     trip_cap = _round_up(trip_cap, n_devices)
+    pair_eval_cap = _round_up(pair_eval_cap, n_devices)
+    trip_eval_cap = _round_up(trip_eval_cap, n_devices)
 
     # electrostatics mode (MBPol.__init__ auto policy)
     if pallas_ok is None:
@@ -260,6 +262,7 @@ def plan_capacities(n_waters, box, n_devices=1, config=None, positions=None,
         n_waters=int(n_waters), n_devices=int(n_devices),
         box=tuple(float(b) for b in box), elec_mode=mode, disp_mode=dmode,
         pair_cap=int(pair_cap), trip_cap=int(trip_cap),
+        pair_eval_cap=int(pair_eval_cap), trip_eval_cap=int(trip_eval_cap),
         nlist_k_max=int(k_max), nlist_kt=None if kt is None else int(kt),
         elec_pair_cap=elec_pair_cap, disp_pair_cap=disp_pair_cap,
         tile_pair_capacity=tile_cap, tile_pair_capacity_local=tile_cap_local,
