@@ -52,13 +52,22 @@ class MBPolConfig:
     # steps - enabling list reuse across an MD chunk. 0 = reference behavior
     # (rebuild from exact cutoffs every evaluation).
     nlist_skin: float = 0.0
-    # compact each step's lists to the entries actually inside the physical
-    # cutoffs before the PIP evaluation (exact: dropped entries have zero
-    # switch weight). Opt-in: the compaction sort costs ~1 ms on a v5e at
-    # water256 scale, which only pays off for very large skins; prefer a
-    # skin matched to the actual O-atom displacement per rebuild interval
-    # (the lists key on O-O distances only).
-    compact_eval: Optional[bool] = None
+    # Shrink the skin-inflated PIP batches before evaluation (exact:
+    # dropped entries have zero switch weight):
+    #   True      - compact EVERY step to the physical cutoffs. The
+    #               compaction argsort costs ~1 ms/step on a v5e at
+    #               water256 scale - only pays off for very large skins.
+    #   'rebuild' - compact once per LIST BUILD to cutoff + skin/2
+    #               (exact under the displacement rebuild trigger: pair
+    #               distances drift <= skin/2 between rebuilds). The sort
+    #               amortizes over the rebuild interval (~free) while the
+    #               dominant 3B batch shrinks ~(1 - ((c+s/2)/(c+s))^6).
+    #               With a FIXED rebuild interval (nlist_rebuild_interval
+    #               = k) the caller must size the skin so k steps of O
+    #               drift stay under skin/4 (half the plain-list budget);
+    #               the displacement-triggered 'auto' mode needs nothing.
+    #   None/False - evaluate the full skin-inflated lists.
+    compact_eval: Optional[object] = None
     # 'complete' (full switch-product support) or 'reference' (bit-parity
     # with ReferenceThreeNeighborList.cpp:215-225 ascending-chain
     # enumeration, which misses some two-edge triplets; ops/neighbors.py).
@@ -245,9 +254,21 @@ class MBPol:
                                                 mesh.devices.size)
         use_nl = config.use_neighbor_lists
         self.use_neighbor_lists = system.n_waters > 24 if use_nl is None else use_nl
-        self.compact_eval = (False if config.compact_eval is None
-                             else config.compact_eval) and self.use_neighbor_lists \
-            and config.triplet_semantics == 'complete'
+        # compact_eval: False | True (per-step compaction to the physical
+        # cutoffs - exact but pays an ~1.1 ms argsort EVERY step) |
+        # 'rebuild' (compaction at list-build time to cutoff + skin/2 -
+        # exact under the displacement rebuild trigger, since any pair
+        # distance drifts by at most skin/2 between rebuilds, and FREE
+        # per step: the skin-inflated 3B batch shrinks ~20-30% with the
+        # sort amortized over the rebuild interval).
+        ce = False if config.compact_eval is None else config.compact_eval
+        if not (self.use_neighbor_lists
+                and config.triplet_semantics == 'complete'):
+            ce = False
+        if ce not in (False, True, 'rebuild'):
+            raise ValueError(f'compact_eval must be False, True or '
+                             f"'rebuild', got {ce!r}")
+        self.compact_eval = ce
         dmode = config.dispersion_mode
         if dmode == 'auto':
             # the dense [N,N] site-pair grid is the next memory wall after
@@ -292,11 +313,14 @@ class MBPol:
             self.trip_cap = neighbors.triplet_capacity(system.n_waters, box,
                                                        config.cutoff_3b + config.nlist_skin,
                                                        factor=f)
-            # compacted evaluation buffers: sized for the *physical* cutoffs
+            # compacted evaluation buffers: physical cutoffs for per-step
+            # compaction; cutoff + skin/2 for rebuild-time compaction
+            ce_half = (0.5 * config.nlist_skin
+                       if self.compact_eval == 'rebuild' else 0.0)
             self.pair_eval_cap = neighbors.pair_capacity(
-                system.n_waters, box, config.cutoff_2b, factor=f)
+                system.n_waters, box, config.cutoff_2b + ce_half, factor=f)
             self.trip_eval_cap = neighbors.triplet_capacity(
-                system.n_waters, box, config.cutoff_3b, factor=f)
+                system.n_waters, box, config.cutoff_3b + ce_half, factor=f)
             if mesh is not None:
                 from mbpol_openmm_plugin_tpu.parallel import mesh as M
                 ndev = mesh.devices.size
@@ -380,14 +404,35 @@ class MBPol:
             o_pos, box, self.config.cutoff_3b + skin, self.trip_cap,
             k_max=k_max, kt=self.nlist_kt,
             semantics=self.config.triplet_semantics)
+        pair_ovf = n_p > self.pair_cap
+        trip_ovf = n_t > self.trip_cap
+        if self.compact_eval == 'rebuild':
+            # Build-time compaction to cutoff + skin/2: exact - between
+            # rebuilds the displacement trigger (2*max_disp > skin/2)
+            # bounds every pair-distance change by skin/2, so anything
+            # contributing at evaluation time was inside cutoff + skin/2
+            # at build time. Same reasoning shrinks the rmin early-exit
+            # bound downward. Compaction overflow folds into the standard
+            # fatal flags (a truncated list silently drops interactions).
+            half = 0.5 * skin
+            b = box if sys_.periodic else None
+            rmin = 0.2 - half     # 2 A reference early-exit, drift-safe
+            pairs, pmask, n_pc = neighbors.compact_pairs(
+                o_pos, b, pairs, pmask, self.config.cutoff_2b + half,
+                rmin, self.pair_eval_cap)
+            trips, tmask, n_tc = neighbors.compact_triplets(
+                o_pos, b, trips, tmask, self.config.cutoff_3b + half,
+                rmin, self.trip_eval_cap)
+            pair_ovf = pair_ovf | (n_pc > self.pair_eval_cap)
+            trip_ovf = trip_ovf | (n_tc > self.trip_eval_cap)
         if self.mesh is not None:
             from mbpol_openmm_plugin_tpu.parallel import mesh as M
             rs = M.row_sharded(self.mesh)
             pairs, pmask = M.constrain(pairs, rs), M.constrain(pmask, rs)
             trips, tmask = M.constrain(trips, rs), M.constrain(tmask, rs)
         diag = dict(n_pairs=n_p, n_triplets=n_t,
-                    pair_overflow=n_p > self.pair_cap,
-                    triplet_overflow=n_t > self.trip_cap)
+                    pair_overflow=pair_ovf,
+                    triplet_overflow=trip_ovf)
         return (pairs, pmask), (trips, tmask), diag
 
     def _compact_lists(self, positions, nlists, box=None):
@@ -469,7 +514,8 @@ class MBPol:
             pl, tl, nl_diag = self._neighbor_lists(positions, box=box)
             nlists = (pl, tl)
 
-        if nlists is not None and self.compact_eval:
+        if nlists is not None and self.compact_eval is True:
+            # per-step mode only; 'rebuild' lists arrive already compacted
             nlists, c_diag = self._compact_lists(positions, nlists, box=box)
             nl_diag = dict(nl_diag, **c_diag)
 
@@ -602,8 +648,10 @@ class MBPol:
         self.nlist_kt = min(int(np.ceil(f_kt * max_ct)) + 8,
                             self.nlist_k_max * (self.nlist_k_max - 1) // 2)
         if self.compact_eval and skin > 0:
-            _, n_pe = native.pair_list(o, box, self.config.cutoff_2b)
-            _, n_te = native.triplet_list(o, box, self.config.cutoff_3b)
+            ce_half = 0.5 * skin if self.compact_eval == 'rebuild' else 0.0
+            _, n_pe = native.pair_list(o, box, self.config.cutoff_2b + ce_half)
+            _, n_te = native.triplet_list(o, box,
+                                          self.config.cutoff_3b + ce_half)
             self.pair_eval_cap = min(max(int(margin * n_pe) + 16, 64), self.pair_cap)
             self.trip_eval_cap = min(max(int(margin * n_te) + 32, 128), self.trip_cap)
         else:

@@ -175,3 +175,153 @@ def pip_energy_grad_tpu(name, x):
     e = out[:p, _ECOL]
     g = out[:p, :nv] / x
     return e, g
+
+
+# ----------------------------------------------------------------------
+# Round-4 kernel: fully fused exact-product quadratic form with MANUAL
+# bf16-split matmuls.
+#
+# The round-3 _quad_kernel above is 9x slower than the XLA path because
+# Mosaic's HIGHEST dot lowering is far worse than XLA's 6-pass bf16
+# emulation. This kernel does the same arithmetic as the production XLA
+# path (ops/polyeval.pip_quad_energy_and_grad) but with every precision
+# pass written out explicitly as native bf16 MXU dots:
+#
+#   basis     m2 = (xa @ A) * (xa @ B)   one-hot selection, EXACT via the
+#                                        3-way bf16 split (3 passes/side;
+#                                        each product has one nonzero term)
+#   matvec    wm = m2 @ W                6-pass bf16x6 (XLA-HIGHEST
+#                                        algorithm: 3-way splits of both
+#                                        operands, the 6 highest-order
+#                                        cross products)
+#   energy    e  = sum(m2 * wm)
+#   gradient  gx = (2 m2 * wm) @ F^T     3 passes (z 3-way split; F's
+#                                        {0,1,2} entries are bf16-exact) -
+#                                        the caller divides by x
+#
+# vs the XLA path this kills the 1.56 ms gather-bound basis build (the
+# selection rides the MXU inside VMEM) and every HBM round-trip of
+# m2/wm/z ([23.8k, 704] f32 = 67 MB each).
+# ----------------------------------------------------------------------
+
+
+def _bdot(a, b):
+    # precision pinned to DEFAULT: the session-wide
+    # jax_default_matmul_precision='highest' otherwise reaches these bf16
+    # dots and Mosaic rejects HIGHEST-precision bf16 matmuls ("Bad lhs
+    # type") - the multi-pass emulation here IS the precision scheme.
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
+
+
+def _split3(x):
+    """Exact 3-way bf16 split (24 = 3x8 mantissa bits; components round-
+    trip exactly inside the kernel - no XLA excess-precision elision in
+    Mosaic)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _dot_exact_select(xs, sel):
+    """sum_c xs_c @ sel for a one-hot sel: exact value selection."""
+    hi, mid, lo = xs
+    return _bdot(hi, sel) + _bdot(mid, sel) + _bdot(lo, sel)
+
+
+def _dot6(xs, ws):
+    """bf16x6 matmul: the 6 highest-order cross products of the 3-way
+    splits (the XLA HIGHEST emulation, written out)."""
+    x1, x2, x3 = xs
+    w1, w2, w3 = ws
+    return (_bdot(x1, w1) + _bdot(x1, w2) + _bdot(x2, w1)
+            + _bdot(x1, w3) + _bdot(x2, w2) + _bdot(x3, w1))
+
+
+def _dot3(xs, w):
+    """3-pass product against a bf16-EXACT matrix (entries {0,1,2})."""
+    x1, x2, x3 = xs
+    return _bdot(x1, w) + _bdot(x2, w) + _bdot(x3, w)
+
+
+def _quad_bf16_kernel(xa_ref, ab_ref, w1_ref, w2_ref, w3_ref,
+                      ft_ref, out_ref):
+    xs = _split3(xa_ref[:])                                   # [TQ, VP] x3
+    # both one-hot selections in ONE set of wide dots ([VP, 2*BQ] stacked
+    # A|B): 3 passes instead of 6 narrow K=128 ones
+    sel = _dot_exact_select(xs, ab_ref[:])                    # [TQ, 2*BQ]
+    m2 = sel[:, :BQ] * sel[:, BQ:]                            # [TQ, BQ] f32
+    ms = _split3(m2)
+    wm = _dot6(ms, (w1_ref[:], w2_ref[:], w3_ref[:]))         # [TQ, BQ] f32
+    e = jnp.sum(m2 * wm, axis=1, keepdims=True)               # [TQ, 1]
+    z = 2.0 * m2 * wm
+    g = _dot3(_split3(z), ft_ref[:])                          # [TQ, VP]
+    out_ref[:] = g
+    out_ref[:, _ECOL:_ECOL + 1] = e
+
+
+@functools.lru_cache(maxsize=None)
+def _quad_bf16_tables(name):
+    """(A|B stacked one-hot [VP, 2*BQ] bf16; W 3-way split [BQ, BQ]
+    bf16 x3; F^T [BQ, VP] bf16)."""
+    from mbpol_openmm_plugin_tpu.ops.polyeval import (
+        _quad_factor_selectors, load_quad)
+    import ml_dtypes
+    A, B = _quad_factor_selectors(name)     # [nv+1, b] one-hot f32
+    F, W = load_quad(name)
+    b, nv = F.shape
+    assert nv + 1 < _ECOL and b <= BQ
+    ABp = np.zeros((VP, 2 * BQ), ml_dtypes.bfloat16)
+    ABp[:nv + 1, :b] = A
+    ABp[:nv + 1, BQ:BQ + b] = B
+    Wp = np.zeros((BQ, BQ), np.float32)
+    Wp[:b, :b] = W
+    w1 = Wp.astype(ml_dtypes.bfloat16)
+    r = Wp - w1.astype(np.float32)
+    w2 = r.astype(ml_dtypes.bfloat16)
+    w3 = (r - w2.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    Ftp = np.zeros((BQ, VP), ml_dtypes.bfloat16)
+    Ftp[:b, :nv] = F                         # entries {0,1,2}: bf16-exact
+    return ABp, w1, w2, w3, Ftp
+
+
+TQ = 512   # rows per tile for the bf16 quad kernel (VPU/MXU amortization)
+
+
+def pip_quad_bf16_energy_grad_tpu(name, x, interpret=False):
+    """Fused quadratic-form energy + dE/dx, manual bf16 passes.
+    x: [P, nvars] float32. Returns (e [P], g [P, nvars])."""
+    ABp, w1, w2, w3, Ftp = _quad_bf16_tables(name)
+    p, nv = x.shape
+    pp = ((p + TQ - 1) // TQ) * TQ
+    # augmented variables [x, 1], zero-padded to the lane width
+    xa = jnp.pad(x, ((0, pp - p), (0, VP - nv)),
+                 constant_values=0.0)
+    xa = xa.at[:, nv].set(1.0)
+    out = pl.pallas_call(
+        _quad_bf16_kernel,
+        out_shape=jax.ShapeDtypeStruct((pp, VP), jnp.float32),
+        grid=(pp // TQ,),
+        in_specs=[
+            pl.BlockSpec((TQ, VP), lambda i: (i, 0)),
+            pl.BlockSpec((VP, 2 * BQ), lambda i: (0, 0)),
+            pl.BlockSpec((BQ, BQ), lambda i: (0, 0)),
+            pl.BlockSpec((BQ, BQ), lambda i: (0, 0)),
+            pl.BlockSpec((BQ, BQ), lambda i: (0, 0)),
+            pl.BlockSpec((BQ, VP), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TQ, VP), lambda i: (i, 0)),
+        cost_estimate=pl.CostEstimate(
+            # 6 BQxBQ passes + 3 stacked-selection + 3 gradient passes
+            flops=2 * pp * BQ * (6 * BQ + 9 * VP),
+            transcendentals=0,
+            bytes_accessed=pp * VP * 8 + 3 * BQ * BQ * 2),
+        interpret=interpret,
+    )(xa, jnp.asarray(ABp), jnp.asarray(w1),
+      jnp.asarray(w2), jnp.asarray(w3), jnp.asarray(Ftp))
+    e = out[:p, _ECOL]
+    g = out[:p, :nv] / x
+    return e, g

@@ -166,22 +166,82 @@ def _quad_factor_indices(name):
         np.argmax(B, axis=0).astype(np.int32)
 
 
-def quad_basis(x, name):
-    """Degree-<=2 basis monomials by exact products: a static column
-    permutation (gather) of the augmented variables, multiplied pairwise.
-    Exact in f32 (one product rounding), no transcendentals, no matmuls.
+def _split3_bf16(x):
+    """EXACT 3-way bf16 decomposition of f32: x == hi + mid + lo.
 
-    Measured alternative (round 3, chip): the same selection as one-hot
-    HIGHEST matmuls (xa @ A * xa @ B, bit-identical) is 32% FASTER
-    standalone (0.75 vs 1.11 ms at the 23.9k-triplet batch) but 1.7x
-    SLOWER inside the fused MD evaluation (three-body marginal 1.84 ->
-    3.07 ms/step): XLA fuses the lane-gathers with the surrounding
-    variable construction and W contraction, and the matmul form breaks
-    that fusion. Standalone PIP micro-benchmarks do not predict in-graph
-    cost - measure the term marginal (tools/step_breakdown.py) before
-    touching this."""
-    idx_a, idx_b = _quad_factor_indices(name)
+    f32 carries 24 mantissa bits; each bf16 component carries 8, and the
+    residual after two round-to-nearest splits has <= 8 significant bits
+    left, so the third split is exact (no underflow for the PIP variable
+    range ~1e-4..1). This is what makes one-hot SELECTION exact on the
+    MXU at bf16 speed: a one-hot matrix is exactly representable in bf16,
+    and each output column of (x_c @ A) is a sum with exactly one nonzero
+    term per component - summing the three f32 accumulator results
+    reconstructs x bit-for-bit."""
+    # Each rounding must actually HAPPEN: under jit, XLA's TPU elementwise
+    # fusion keeps excess precision through bf16 round-trips (measured:
+    # the residuals come out wrong by ~a bf16 ULP of x, i.e. the f32->bf16
+    # ->f32 hop was elided), so every component is pinned behind an
+    # optimization_barrier before the subtraction that uses it.
+    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
+    r1 = x - hi.astype(x.dtype)
+    mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
+    lo = (r1 - mid.astype(x.dtype)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _select_exact_bf16(xa, sel):
+    """xa[..., idx] as three bf16 MXU passes (exact; see _split3_bf16).
+    sel: one-hot [V, B] bf16.
+
+    The optimization_barrier is load-bearing: XLA's algebraic simplifier
+    otherwise merges the three dots over the shared `sel` operand into
+    dot(hi+mid+lo, sel) - and that sum happens in bf16, collapsing the
+    split back to bf16(x) (measured on chip: 3.9e-3 max basis error =
+    one bf16 ULP; CPU XLA does not apply the rewrite, so only the TPU
+    path was wrong)."""
+    hi, mid, lo = jax.lax.optimization_barrier(_split3_bf16(xa))
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((xa.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return dot(hi, sel) + dot(mid, sel) + dot(lo, sel)
+
+
+def _quad_factor_selectors_bf16(name):
+    # numpy held in the lru cache; the bf16 device constants are created
+    # per trace (caching jnp arrays across traces leaks tracers)
+    A, B = _quad_factor_selectors(name)
+    return (jnp.asarray(A, jnp.bfloat16), jnp.asarray(B, jnp.bfloat16))
+
+
+def quad_basis(x, name):
+    """Degree-<=2 basis monomials by exact products of the augmented
+    variables xa = [x, 1]: numerically identical selection via either a
+    static lane gather or one-hot bf16 MXU passes, multiplied pairwise.
+    Exact in f32 either way (one product rounding), no transcendentals.
+
+    Implementation choice (MBPOL_PIP_BASIS, default 'gather'):
+      'gather' - static column gathers. Round 3: 1.56 ms of the 3B term's
+        2.06 ms standalone cost at the 23.8k-triplet batch (minor-axis
+        gathers are VPU-lane-shuffle bound on TPU).
+      'bf16x3' - each selection is THREE bf16 MXU passes over the exact
+        3-way bf16 split of xa (_split3_bf16): bit-identical to the
+        gather ON CHIP (verified round 4; needs the optimization
+        barriers - see _split3_bf16/_select_exact_bf16). MEASURED round
+        4, chip: standalone 2.09 vs 1.77 ms and in-graph 247 vs 325
+        steps/s - SLOWER despite only ~0.9 ms of MXU work, because the
+        barriers pin hi/mid/lo materialization and the six [.,128-pad]@
+        [128,704] dots break XLA's gather+variable-construction fusion.
+        Third confirmation that matmul selection loses in-graph here;
+        kept as the recorded negative result and as the building block
+        for a fused Pallas kernel (where fusion is manual anyway).
+    """
+    import os
+    choice = os.environ.get('MBPOL_PIP_BASIS', 'gather')
     xa = jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
+    if choice == 'bf16x3':
+        A, B = _quad_factor_selectors_bf16(name)
+        return _select_exact_bf16(xa, A) * _select_exact_bf16(xa, B)
+    idx_a, idx_b = _quad_factor_indices(name)
     return jnp.take(xa, jnp.asarray(idx_a), axis=-1) \
         * jnp.take(xa, jnp.asarray(idx_b), axis=-1)
 
@@ -253,6 +313,12 @@ def pip_apply(name):
             from mbpol_openmm_plugin_tpu.ops.pip_pallas import \
                 pip_quad_energy_grad_tpu
             return pip_quad_energy_grad_tpu(name, x)
+        if choice == 'quad_bf16':
+            # round-4 fused kernel: exact-product basis + manual bf16
+            # passes (6-pass W matvec == the XLA HIGHEST algorithm)
+            from mbpol_openmm_plugin_tpu.ops.pip_pallas import \
+                pip_quad_bf16_energy_grad_tpu
+            return pip_quad_bf16_energy_grad_tpu(name, x)
         if choice == 'pallas':
             from mbpol_openmm_plugin_tpu.ops.pip_pallas import pip_energy_grad_tpu
             return pip_energy_grad_tpu(name, x)

@@ -146,9 +146,11 @@ def plan_capacities(n_waters, box, n_devices=1, config=None, positions=None,
         max_ct = (int(np.bincount(trips_np[:, 1], minlength=n_waters).max())
                   if len(trips_np) else 0)
         kt = min(int(np.ceil(f_kt * max_ct)) + 8, k_max * (k_max - 1) // 2)
-        # compacted eval buffers at the PHYSICAL cutoffs (no skin)
-        _, n_pe = native.pair_list(o, box, cfg.cutoff_2b)
-        _, n_te = native.triplet_list(o, box, cfg.cutoff_3b)
+        # compacted eval buffers: physical cutoffs (per-step compaction)
+        # or cutoff + skin/2 (rebuild-time compaction)
+        ce_half = 0.5 * skin if cfg.compact_eval == 'rebuild' else 0.0
+        _, n_pe = native.pair_list(o, box, cfg.cutoff_2b + ce_half)
+        _, n_te = native.triplet_list(o, box, cfg.cutoff_3b + ce_half)
         pair_eval_cap = min(max(int(margin * n_pe) + 16, 64), pair_cap)
         trip_eval_cap = min(max(int(margin * n_te) + 32, 128), trip_cap)
     else:
@@ -158,10 +160,11 @@ def plan_capacities(n_waters, box, n_devices=1, config=None, positions=None,
                                               cfg.cutoff_3b + skin, factor=f)
         k_max = neighbors.max_neighbors(n_waters, box, cfg.cutoff_3b + skin)
         kt = None
+        ce_half = 0.5 * skin if cfg.compact_eval == 'rebuild' else 0.0
         pair_eval_cap = min(neighbors.pair_capacity(
-            n_waters, box, cfg.cutoff_2b, factor=f), pair_cap)
+            n_waters, box, cfg.cutoff_2b + ce_half, factor=f), pair_cap)
         trip_eval_cap = min(neighbors.triplet_capacity(
-            n_waters, box, cfg.cutoff_3b, factor=f), trip_cap)
+            n_waters, box, cfg.cutoff_3b + ce_half, factor=f), trip_cap)
     pair_cap = _round_up(pair_cap, n_devices)
     trip_cap = _round_up(trip_cap, n_devices)
     pair_eval_cap = _round_up(pair_eval_cap, n_devices)

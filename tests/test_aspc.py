@@ -116,3 +116,43 @@ def test_aspc_short_nve_tracks_converged_trajectory():
     drift_ref = abs(e_ref[-1] - e_ref[0])
     drift_aspc = abs(e_aspc[-1] - e_aspc[0])
     assert drift_aspc < max(10.0 * drift_ref, 1e-3)
+
+
+def test_aspc_closed_form_matches_kolafa_table():
+    """The closed form B_j = (-1)^(j+1) j C(2k+4, k+2-j)/C(2k+2, k+1)
+    reproduces Kolafa's Table I exactly for k = 0..3 and stays
+    partition-of-unity at higher orders."""
+    table = {0: [2.0, -1.0],
+             1: [2.5, -2.0, 0.5],
+             2: [2.8, -2.8, 1.2, -0.2],
+             3: [3.0, -24.0 / 7.0, 27.0 / 14.0, -4.0 / 7.0, 1.0 / 14.0]}
+    for k, row in table.items():
+        np.testing.assert_allclose(elec.aspc_predictor_coefficients(k), row,
+                                   rtol=1e-14)
+    for k in range(8):
+        b = elec.aspc_predictor_coefficients(k)
+        assert len(b) == k + 2
+        np.testing.assert_allclose(b.sum(), 1.0, atol=1e-12)
+
+
+def test_aspc_n_corr_depth():
+    """n_corr=1 is Kolafa's single damped corrector exactly; deeper
+    correctors converge toward the SOR fixed point (smaller energy error
+    against the converged evaluation from the same predictor)."""
+    sys_, pos = fixtures.load_system('water3')
+    sor = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff', cutoff=0.9,
+                                  target_epsilon=1e-10))
+    e_conv, _, _, d_conv = sor.energy_forces(pos)
+    mu_conv = d_conv['induced_dipoles']
+    # a deliberately perturbed predictor
+    mu_pred = mu_conv * 1.05
+
+    def aspc_energy(n_corr):
+        pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff',
+                                      cutoff=0.9, scf_method='aspc',
+                                      aspc_k=2, aspc_n_corr=n_corr))
+        e, _, _, _ = pot._energy_forces_impl(pos, mu0=mu_pred)
+        return abs(float(e) - float(e_conv))
+
+    errs = [aspc_energy(n) for n in (1, 2, 4, 8)]
+    assert errs[1] < errs[0] and errs[2] < errs[1] and errs[3] < errs[2]

@@ -111,3 +111,19 @@ def test_triplet_semantics_reference_parity_water50():
     assert abs(vals['complete'] - 3.848850) < 1e-4, vals
     assert abs(vals['reference'] - 2.564164) < 1e-4, vals
     assert abs((vals['complete'] - vals['reference']) - 1.284686) < 1e-4
+
+
+def test_quad_basis_bf16x3_selection_bit_identical(monkeypatch):
+    """The one-hot bf16 MXU selection (3-way exact bf16 split, used on TPU
+    f32) is bit-identical to the static lane gather for both PIP bases."""
+    import jax.numpy as jnp
+
+    from mbpol_openmm_plugin_tpu.ops import polyeval as P
+    rng = np.random.default_rng(0)
+    for name, nv in (('poly3b', 36), ('poly2b', 31)):
+        x = jnp.asarray(rng.uniform(1e-4, 1.0, (97, nv)), jnp.float32)
+        monkeypatch.setenv('MBPOL_PIP_BASIS', 'gather')
+        g = P.quad_basis(x, name)
+        monkeypatch.setenv('MBPOL_PIP_BASIS', 'bf16x3')
+        b = P.quad_basis(x, name)
+        assert bool((np.asarray(g) == np.asarray(b)).all())

@@ -40,10 +40,14 @@ def main():
     pos = jnp.asarray(fix['positions'], jnp.float32)
     pos_v = compute_virtual_sites(sys_, pos)
 
+    compact = os.environ.get('MBPOL_SB_COMPACT', '')
+    compact = {'': None, 'rebuild': 'rebuild', '1': True}.get(compact, None)
+
     def make(terms):
         cfg = MBPolConfig(nonbonded_method='PME', cutoff=0.9,
                           target_epsilon=1e-3, max_iterations=200,
-                          terms=terms, nlist_skin=0.02)
+                          terms=terms, nlist_skin=0.02,
+                          compact_eval=compact)
         p = MBPol(sys_, cfg)
         p.tune_capacities(pos_v)
         return p
