@@ -37,8 +37,26 @@ def tt6(x):
     return 1.0 - jnp.exp(-x) * s
 
 
+def switch_factor(r2, cutoff, width):
+    """OpenMM CustomNonbondedForce switching function S(x) = 1 - 10x^3 +
+    15x^4 - 6x^5 over [cutoff - width, cutoff] (C2-continuous to 0).
+
+    width = 0 reproduces the reference's PLAIN truncation - which makes
+    the dispersion force field discontinuous at the cutoff sphere: every
+    pair crossing r = 0.9 nm does non-conservative work ~C6/r^6, measured
+    round 4 as the bulk of the +200 K/ns no-electrostatics NVE drift at
+    water256 (tools/nve_drift.py --terms). The switch keeps energy AND
+    forces consistent for free because the dispersion forces come from
+    autodiff of this energy. OpenMM exposes exactly this option on
+    CustomNonbondedForce (setUseSwitchingFunction); the reference script
+    simply leaves it off."""
+    x = (jnp.sqrt(r2) - (cutoff - width)) / width
+    x = jnp.clip(x, 0.0, 1.0)
+    return 1.0 - x * x * x * (10.0 + x * (-15.0 + 6.0 * x))
+
+
 def dispersion_energy(system: System, positions, cutoff=None, box=None,
-                      mesh=None):
+                      mesh=None, switch_width=0.0):
     """Total dispersion energy in kJ/mol.
 
     Args:
@@ -79,11 +97,13 @@ def dispersion_energy(system: System, positions, cutoff=None, box=None,
     r2 = jnp.where(mask, r2, 1.0)           # avoid 0/0 on the diagonal
     r = jnp.sqrt(r2)
     e_pair = -C6 * tt6(d6 * r) / (r2 * r2 * r2)
+    if cutoff is not None and switch_width > 0.0:
+        e_pair = e_pair * switch_factor(r2, cutoff, switch_width)
     return 0.5 * jnp.sum(jnp.where(mask, e_pair, 0.0))
 
 
 def dispersion_energy_pairs(system: System, positions, mol_pairs, pair_mask,
-                            cutoff, box=None, mesh=None):
+                            cutoff, box=None, mesh=None, switch_width=0.0):
     """O(N)-memory dispersion over a padded molecule-pair list (water-only).
 
     Same physics as `dispersion_energy` (TT6-damped C6 with plain
@@ -130,5 +150,7 @@ def dispersion_energy_pairs(system: System, positions, mol_pairs, pair_mask,
     r2 = jnp.where(mask, r2, 1.0)
     r = jnp.sqrt(r2)
     e_pair = -C6b[None] * tt6(d6b[None] * r) / (r2 * r2 * r2)
+    if switch_width > 0.0:
+        e_pair = e_pair * switch_factor(r2, cutoff, switch_width)
     # each unordered molecule pair appears once - no double-count factor
     return jnp.sum(jnp.where(mask, e_pair, 0.0))

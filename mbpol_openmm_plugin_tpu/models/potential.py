@@ -105,6 +105,14 @@ class MBPolConfig:
     # (pairs whenever electrostatics resolved to a sparse/block large-N
     # mode on a water-only periodic system; dense otherwise)
     dispersion_mode: str = 'auto'
+    # OpenMM-style C2 switching of the dispersion tail over
+    # [cutoff - width, cutoff]. 0 = reference parity (plain truncation -
+    # which is a DISCONTINUOUS force field at the cutoff sphere; measured
+    # round 4 as most of the +200 K/ns non-electrostatic NVE drift at
+    # water256). OpenMM's CustomNonbondedForce exposes the same option
+    # (setUseSwitchingFunction); forces stay consistent automatically
+    # (autodiff of the switched energy).
+    dispersion_switch_width: float = 0.0
     terms: tuple = ('electrostatics', 'one_body', 'two_body', 'three_body', 'dispersion')
 
 
@@ -487,13 +495,16 @@ class MBPol:
             parts['three_body'] = (three_body_energy(sys_, pos, tl[0], tl[1], box=box)
                                    if tl is not None else three_body_energy(sys_, pos, box=box))
         if 'dispersion' in cfg.terms:
+            sw = cfg.dispersion_switch_width
             if disp_pairs is not None:
                 parts['dispersion'] = dispersion_energy_pairs(
                     sys_, pos, disp_pairs[0], disp_pairs[1],
-                    cutoff=cfg.cutoff, box=box, mesh=self.mesh)
+                    cutoff=cfg.cutoff, box=box, mesh=self.mesh,
+                    switch_width=sw)
             else:
                 parts['dispersion'] = dispersion_energy(
-                    sys_, pos, cutoff=cfg.cutoff, box=box, mesh=self.mesh)
+                    sys_, pos, cutoff=cfg.cutoff, box=box, mesh=self.mesh,
+                    switch_width=sw)
         return parts
 
     def _energy_forces_impl(self, positions, mu0=None, nlists=None, box=None):

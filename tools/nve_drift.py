@@ -37,7 +37,8 @@ KB = 0.008314462618      # kJ/mol/K
 
 
 def build(dt_fs, aspc_k, kahan, n_corr=1, scf='aspc', epsilon=1e-3,
-          therm_temp=300.0, seed=0):
+          terms=None, ewald_tol=1e-4, disp_switch=0.0, therm_temp=300.0,
+          seed=0):
     import jax
     jax.config.update('jax_compilation_cache_dir',
                       os.environ.get('JAX_COMPILATION_CACHE_DIR',
@@ -60,11 +61,15 @@ def build(dt_fs, aspc_k, kahan, n_corr=1, scf='aspc', epsilon=1e-3,
     sys_ = System.waters(256, box=box)
     dtype = jnp.float32
     pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions'], dtype))
+    kw = {'ewald_error_tolerance': ewald_tol,
+          'dispersion_switch_width': disp_switch}
+    if terms is not None:
+        kw['terms'] = tuple(terms)
     pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
                                   target_epsilon=epsilon, max_iterations=200,
                                   scf_method=scf, aspc_k=aspc_k,
                                   aspc_n_corr=n_corr,
-                                  nlist_skin=0.02))
+                                  nlist_skin=0.02, **kw))
     # margin 1.6: a 50 ps NVE window samples far deeper density
     # fluctuations than the 0.2 ps bench windows - margin 1.3 overflowed
     # ~10 ps into the first long run (truncated lists then corrupt the
@@ -114,7 +119,7 @@ def build(dt_fs, aspc_k, kahan, n_corr=1, scf='aspc', epsilon=1e-3,
             e, f, parts, diag = pot._energy_forces_impl(p, mu0,
                                                         nlists=nlists)
             mu_hist = jnp.roll(mu_hist, 1, axis=0).at[0].set(
-                diag['induced_dipoles'])
+                diag.get('induced_dipoles', mu_hist[0]))
             dv2 = 0.5 * dt * f * inv_m
             if kahan:
                 v, vc = comp_add(v_half, vc, dv2)
@@ -135,7 +140,9 @@ def build(dt_fs, aspc_k, kahan, n_corr=1, scf='aspc', epsilon=1e-3,
                       potential_energy=e0, box=jnp.asarray(box, dtype),
                       step=jnp.zeros((), jnp.int32), rng=key)
     comp0 = (jnp.zeros_like(v0), jnp.zeros_like(pos))
-    mu0 = jnp.tile(diag0['induced_dipoles'][None], (hist_len, 1, 1))
+    mu_seed = diag0.get('induced_dipoles',
+                        jnp.zeros_like(pos))
+    mu0 = jnp.tile(mu_seed[None], (hist_len, 1, 1))
     nl0, d0 = pot.build_neighbor_lists(pos)
     carry = (state, comp0, mu0, nl0, state.positions,
              jnp.asarray(bool(d0['pair_overflow'])
@@ -144,14 +151,18 @@ def build(dt_fs, aspc_k, kahan, n_corr=1, scf='aspc', epsilon=1e-3,
 
 
 def run(dt_fs, aspc_k, kahan, steps, therm, seg, seed=0, t_target=300.0,
-        n_corr=1, scf='aspc', epsilon=1e-3):
+        n_corr=1, scf='aspc', epsilon=1e-3, terms=None, ewald_tol=1e-4,
+        disp_switch=0.0):
     import jax
     import jax.numpy as jnp
 
     from mbpol_openmm_plugin_tpu.md import integrators as I
     carry, chunk, masses, sys_, pot = build(dt_fs, aspc_k, kahan,
                                             n_corr=n_corr, scf=scf,
-                                            epsilon=epsilon, seed=seed)
+                                            epsilon=epsilon, terms=terms,
+                                            ewald_tol=ewald_tol,
+                                            disp_switch=disp_switch,
+                                            seed=seed)
     ndof = 3 * int((masses > 0).sum())
 
     def ke(carry):
@@ -202,7 +213,8 @@ def run(dt_fs, aspc_k, kahan, steps, therm, seg, seed=0, t_target=300.0,
         float((es[-1] - es[0]) / (ts[-1] - ts[0]))
     out = dict(
         variant=dict(dt_fs=dt_fs, aspc_k=aspc_k, kahan=bool(kahan),
-                     n_corr=n_corr, scf=scf, epsilon=epsilon,
+                     n_corr=n_corr, scf=scf, epsilon=epsilon, terms=terms,
+                     ewald_tol=ewald_tol, disp_switch=disp_switch,
                      steps=steps, therm=therm, seed=seed),
         temperature_K=round(t_now, 1),
         window_ps=round(float(ts[-1] - ts[0]), 3),
@@ -225,12 +237,18 @@ def main():
     ap.add_argument('--aspc-k', type=int, default=3)
     ap.add_argument('--kahan', action='store_true')
     ap.add_argument('--n-corr', type=int, default=1)
-    ap.add_argument('--scf', default='aspc', choices=['aspc', 'sor'])
+    ap.add_argument('--scf', default='aspc', choices=['aspc', 'sor', 'diis'])
+    ap.add_argument('--ewald-tol', type=float, default=1e-4)
+    ap.add_argument('--disp-switch', type=float, default=0.0)
+    ap.add_argument('--terms', default=None,
+                    help='comma list, e.g. one_body,two_body,dispersion')
     ap.add_argument('--epsilon', type=float, default=1e-3)
     ap.add_argument('--seed', type=int, default=0)
     a = ap.parse_args()
     run(a.dt_fs, a.aspc_k, a.kahan, a.steps, a.therm, a.seg, a.seed,
-        n_corr=a.n_corr, scf=a.scf, epsilon=a.epsilon)
+        n_corr=a.n_corr, scf=a.scf, epsilon=a.epsilon,
+        terms=None if a.terms is None else a.terms.split(','),
+        ewald_tol=a.ewald_tol, disp_switch=a.disp_switch)
 
 
 if __name__ == '__main__':
