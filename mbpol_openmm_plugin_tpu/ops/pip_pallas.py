@@ -288,6 +288,113 @@ def _quad_bf16_tables(name):
     return ABp, w1, w2, w3, Ftp
 
 
+# ----------------------------------------------------------------------
+# Round-4b kernel: TRANSPOSED vech outer-product basis, zero selection
+# cost.
+#
+# polyeval.load_quad_vech establishes that the quadratic-form bases are
+# the COMPLETE degree-<=2 monomial sets (528 = 32*33/2, 703 = 37*38/2),
+# so in vech order the basis is a structured outer product
+#
+#     m2[(i,j)] = xa_i * xa_j       blocks i, j = i..Va-1
+#
+# In a batch-on-LANES layout (variables/basis on sublanes, TL items on
+# lanes) every block is a contiguous SUBLANE slice: one sublane-broadcast
+# of row i times a row block - no lane gathers, no one-hot MXU passes,
+# no HBM round-trips for m2/wm. The W matvec and gradient contraction
+# ride the MXU as manual bf16 passes (bf16x6 == the XLA HIGHEST
+# algorithm; F entries {0,1,2} are bf16-exact so 3 passes suffice).
+#
+# Replaces: the 1.56 ms/step lane-gather basis build (round 3) and the
+# one-hot selection dots of _quad_bf16_kernel above (round 4a).
+# ----------------------------------------------------------------------
+
+VT = 40    # padded augmented-variable sublane count (37 -> 40)
+TL = 256   # batch items per tile (lane dimension)
+_EROW = VT - 1   # output sublane row carrying the energy
+
+
+def _vech_kernel(va, b, bp, xat_ref, w1_ref, w2_ref, w3_ref, ft_ref,
+                 out_ref, m2_ref):
+    # ---- basis build: structured outer product, sublane slices only ----
+    m2_ref[b:, :] = jnp.zeros((bp - b, TL), jnp.float32)
+    xat = xat_ref[:]                                          # [VT, TL]
+    o = 0
+    for i in range(va):
+        li = va - i
+        m2_ref[o:o + li, :] = xat[i:i + 1, :] * xat[i:va, :]
+        o += li
+    m2 = m2_ref[:]                                            # [BP, TL]
+    ms = _split3(m2)
+    # ---- W matvec (bf16x6 == XLA HIGHEST), energy, gradient ------------
+    wm = (_bdot(w1_ref[:], ms[0]) + _bdot(w1_ref[:], ms[1])
+          + _bdot(w2_ref[:], ms[0]) + _bdot(w1_ref[:], ms[2])
+          + _bdot(w2_ref[:], ms[1]) + _bdot(w3_ref[:], ms[0]))  # [BP, TL]
+    e = jnp.sum(m2 * wm, axis=0, keepdims=True)               # [1, TL]
+    z = 2.0 * m2 * wm
+    zs = _split3(z)
+    g = (_bdot(ft_ref[:], zs[0]) + _bdot(ft_ref[:], zs[1])
+         + _bdot(ft_ref[:], zs[2]))                           # [VT, TL]
+    out_ref[:] = g
+    out_ref[_EROW:_EROW + 1, :] = e
+
+
+@functools.lru_cache(maxsize=None)
+def _vech_tables(name):
+    """(va, b, bp, W 3-way split [BP, BP] bf16 x3, F^T [VT, BP] bf16)
+    in NATURAL vech order."""
+    from mbpol_openmm_plugin_tpu.ops.polyeval import load_quad_vech
+    import ml_dtypes
+    F, W = load_quad_vech(name)
+    b, nv = F.shape
+    va = nv + 1
+    assert va < _EROW
+    bp = ((b + 127) // 128) * 128
+    Wp = np.zeros((bp, bp), np.float32)
+    Wp[:b, :b] = W
+    w1 = Wp.astype(ml_dtypes.bfloat16)
+    r = Wp - w1.astype(np.float32)
+    w2 = r.astype(ml_dtypes.bfloat16)
+    w3 = (r - w2.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    Ftp = np.zeros((VT, bp), ml_dtypes.bfloat16)
+    Ftp[:nv, :b] = F.T                       # entries {0,1,2}: bf16-exact
+    return va, b, bp, w1, w2, w3, Ftp
+
+
+def pip_vech_energy_grad_tpu(name, x, interpret=False):
+    """Fused vech-basis quadratic form, transposed layout.
+    x: [P, nvars] float32. Returns (e [P], g [P, nvars])."""
+    va, b, bp, w1, w2, w3, Ftp = _vech_tables(name)
+    p, nv = x.shape
+    pp = ((p + TL - 1) // TL) * TL
+    xa = jnp.pad(x, ((0, pp - p), (0, VT - nv)), constant_values=0.0)
+    xa = xa.at[:, nv].set(1.0)
+    xat = xa.T                                                # [VT, PP]
+    out = pl.pallas_call(
+        functools.partial(_vech_kernel, va, b, bp),
+        out_shape=jax.ShapeDtypeStruct((VT, pp), jnp.float32),
+        grid=(pp // TL,),
+        in_specs=[
+            pl.BlockSpec((VT, TL), lambda i: (0, i)),
+            pl.BlockSpec((bp, bp), lambda i: (0, 0)),
+            pl.BlockSpec((bp, bp), lambda i: (0, 0)),
+            pl.BlockSpec((bp, bp), lambda i: (0, 0)),
+            pl.BlockSpec((VT, bp), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((VT, TL), lambda i: (0, i)),
+        scratch_shapes=[pltpu.VMEM((bp, TL), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pp * bp * (6 * bp + 3 * VT),
+            transcendentals=0,
+            bytes_accessed=pp * VT * 8 + 3 * bp * bp * 2),
+        interpret=interpret,
+    )(xat, jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(w3),
+      jnp.asarray(Ftp))
+    e = out[_EROW, :p]
+    g = out[:nv, :p].T / x
+    return e, g
+
+
 TQ = 512   # rows per tile for the bf16 quad kernel (VPU/MXU amortization)
 
 

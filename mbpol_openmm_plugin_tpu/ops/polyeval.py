@@ -166,6 +166,49 @@ def _quad_factor_indices(name):
         np.argmax(B, axis=0).astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def load_quad_vech(name):
+    """Quadratic form re-ordered to the NATURAL vech basis.
+
+    Round-4 structural discovery: the extracted degree-<=2 product bases
+    are COMPLETE - poly2b's 528 columns = 32*33/2 and poly3b's 703 =
+    37*38/2, i.e. exactly every unordered pair (i <= j) of augmented
+    variables xa = [x, 1]. Permuting W/F once at load time into block
+    order (i; j = i..Va-1) makes the basis build a structured outer
+    product
+
+        m2 = concat_i( xa[..., i:i+1] * xa[..., i:] )
+
+    - contiguous slices, broadcasts and multiplies only. This removes the
+    two minor-axis lane-gathers that round 3 measured as 1.56 ms of the
+    3-body term's 2.06 ms standalone cost (VPU-lane-shuffle bound).
+
+    Returns (F_nat [B, V], W_nat [B, B]) with rows/cols permuted
+    consistently; numerically the same form (exact permutation).
+    """
+    F, W = load_quad(name)
+    ia, ib = _quad_factor_indices(name)
+    lo = np.minimum(ia, ib)
+    hi = np.maximum(ia, ib)
+    va = F.shape[1] + 1
+    b = F.shape[0]
+    if b != va * (va + 1) // 2 or len({(int(a), int(c))
+                                       for a, c in zip(lo, hi)}) != b:
+        raise ValueError(f'{name}: basis is not the complete vech over '
+                         f'{va} augmented variables; vech order unavailable')
+    order = np.lexsort((hi, lo))
+    return F[order], W[np.ix_(order, order)]
+
+
+def _vech_basis(xa):
+    """Complete degree-<=2 basis in natural vech order from augmented
+    variables xa[..., Va]: block i = xa_i * xa_{i:}. No gathers - each
+    block is a broadcast-multiplied contiguous slice."""
+    va = xa.shape[-1]
+    return jnp.concatenate(
+        [xa[..., i:i + 1] * xa[..., i:] for i in range(va)], axis=-1)
+
+
 def _split3_bf16(x):
     """EXACT 3-way bf16 decomposition of f32: x == hi + mid + lo.
 
@@ -235,15 +278,22 @@ def quad_basis(x, name):
         kept as the recorded negative result and as the building block
         for a fused Pallas kernel (where fusion is manual anyway).
     """
-    import os
-    choice = os.environ.get('MBPOL_PIP_BASIS', 'gather')
+    choice = _basis_choice()
     xa = jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
+    if choice == 'vech':
+        # REQUIRES the load_quad_vech-permuted W/F (pip_apply handles this)
+        return _vech_basis(xa)
     if choice == 'bf16x3':
         A, B = _quad_factor_selectors_bf16(name)
         return _select_exact_bf16(xa, A) * _select_exact_bf16(xa, B)
     idx_a, idx_b = _quad_factor_indices(name)
     return jnp.take(xa, jnp.asarray(idx_a), axis=-1) \
         * jnp.take(xa, jnp.asarray(idx_b), axis=-1)
+
+
+def _basis_choice():
+    import os
+    return os.environ.get('MBPOL_PIP_BASIS', 'gather')
 
 
 def pip_quad_energy_and_grad(x, F, W, name=None):
@@ -305,14 +355,23 @@ def pip_apply(name):
         if choice == 'quad':
             # XLA path: Mosaic cannot lower HIGH-precision dots, and the
             # fused Pallas variant (pip_quad_energy_grad_tpu) is 9x slower
-            # at HIGHEST; XLA fuses this fine.
-            F, W = load_quad(name)
+            # at HIGHEST; XLA fuses this fine. The basis mode decides the
+            # (statically permuted) table set - the vech order needs W/F
+            # rows matched to the structured outer-product column order.
+            F, W = (load_quad_vech(name) if _basis_choice() == 'vech'
+                    else load_quad(name))
             return pip_quad_energy_and_grad(x, jnp.asarray(F), jnp.asarray(W),
                                             name=name)
         if choice == 'quad_pallas':
             from mbpol_openmm_plugin_tpu.ops.pip_pallas import \
                 pip_quad_energy_grad_tpu
             return pip_quad_energy_grad_tpu(name, x)
+        if choice == 'vech_pallas':
+            # round-4b fused kernel: structured outer-product basis in
+            # VMEM (zero selection cost) + manual bf16 W matvec
+            from mbpol_openmm_plugin_tpu.ops.pip_pallas import \
+                pip_vech_energy_grad_tpu
+            return pip_vech_energy_grad_tpu(name, x)
         if choice == 'quad_bf16':
             # round-4 fused kernel: exact-product basis + manual bf16
             # passes (6-pass W matvec == the XLA HIGHEST algorithm)

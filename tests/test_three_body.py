@@ -127,3 +127,54 @@ def test_quad_basis_bf16x3_selection_bit_identical(monkeypatch):
         monkeypatch.setenv('MBPOL_PIP_BASIS', 'bf16x3')
         b = P.quad_basis(x, name)
         assert bool((np.asarray(g) == np.asarray(b)).all())
+
+
+def test_quad_vech_order_matches_gather(monkeypatch):
+    """The natural vech order (complete degree-<=2 basis as a structured
+    outer product; load_quad_vech) evaluates the same quadratic form as
+    the file-order gather basis, for energies AND gradients."""
+    from mbpol_openmm_plugin_tpu.ops import polyeval as P
+    rng = np.random.default_rng(2)
+    for name, nv in (('poly3b', 36), ('poly2b', 31)):
+        x = jnp.asarray(rng.uniform(1e-4, 1.0, (97, nv)))
+        monkeypatch.setenv('MBPOL_PIP_BASIS', 'gather')
+        F, W = P.load_quad(name)
+        e0, g0 = P.pip_quad_energy_and_grad(x, jnp.asarray(F),
+                                            jnp.asarray(W), name=name)
+        monkeypatch.setenv('MBPOL_PIP_BASIS', 'vech')
+        Fv, Wv = P.load_quad_vech(name)
+        e1, g1 = P.pip_quad_energy_and_grad(x, jnp.asarray(Fv),
+                                            jnp.asarray(Wv), name=name)
+        sc = float(np.abs(np.asarray(e0)).max())
+        assert float(np.max(np.abs(np.asarray(e1 - e0)))) < 1e-12 * sc
+        assert float(np.max(np.abs(np.asarray(g1 - g0)))) < 1e-11 * sc
+
+
+def test_vech_pallas_kernel_interpret_matches_xla():
+    """The fused transposed vech kernel (interpret mode) tracks the f32
+    XLA quad path within the bf16x6-vs-f32 emulation band on physical-
+    range variables."""
+    from mbpol_openmm_plugin_tpu.ops import polyeval as P
+    from mbpol_openmm_plugin_tpu.ops.pip_pallas import \
+        pip_vech_energy_grad_tpu
+    rng = np.random.default_rng(3)
+    for name, nv in (('poly3b', 36), ('poly2b', 31)):
+        xf = rng.uniform(1e-4, 1.0, (300, nv))
+        x64 = jnp.asarray(xf, jnp.float64)
+        x32 = jnp.asarray(xf, jnp.float32)
+        F, W = P.load_quad(name)
+        e0, g0 = P.pip_quad_energy_and_grad(x64, jnp.asarray(F),
+                                            jnp.asarray(W), name=None)
+        ex, _ = P.pip_quad_energy_and_grad(
+            x32, jnp.asarray(F, jnp.float32), jnp.asarray(W, jnp.float32),
+            name=name)
+        e1, g1 = pip_vech_energy_grad_tpu(name, x32, interpret=True)
+        err_xla = float(np.max(np.abs(np.asarray(ex, np.float64)
+                                      - np.asarray(e0))))
+        err_k = float(np.max(np.abs(np.asarray(e1, np.float64)
+                                    - np.asarray(e0))))
+        # the kernel's manual bf16 passes may lose a small factor vs the
+        # XLA HIGHEST codegen but must stay in the same accuracy class
+        assert np.isfinite(err_k)
+        assert err_k < max(20.0 * err_xla, 1e-3), (name, err_k, err_xla)
+        assert g1.shape == (300, nv)

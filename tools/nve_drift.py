@@ -223,6 +223,7 @@ def run(dt_fs, aspc_k, kahan, steps, therm, seg, seed=0, t_target=300.0,
         drift_K_per_ns=round(slope_per_ps * 1e3 / (0.5 * ndof * KB), 3),
         endpoint_drift_kJmol=round(float(es[-1] - es[0]), 3),
         e_first=round(float(es[0]), 3), e_last=round(float(es[-1]), 3),
+        series=[round(float(v), 3) for v in es],
         nan=bool(np.isnan(es).any()), neighbor_overflow=ovf)
     print(json.dumps(out), flush=True)
     return out
