@@ -37,8 +37,8 @@ KB = 0.008314462618      # kJ/mol/K
 
 
 def build(dt_fs, aspc_k, kahan, n_corr=1, scf='aspc', epsilon=1e-3,
-          terms=None, ewald_tol=1e-4, disp_switch=0.0, therm_temp=300.0,
-          seed=0):
+          terms=None, ewald_tol=1e-4, disp_switch=0.0, skin=0.02,
+          therm_temp=300.0, seed=0):
     import jax
     jax.config.update('jax_compilation_cache_dir',
                       os.environ.get('JAX_COMPILATION_CACHE_DIR',
@@ -69,7 +69,7 @@ def build(dt_fs, aspc_k, kahan, n_corr=1, scf='aspc', epsilon=1e-3,
                                   target_epsilon=epsilon, max_iterations=200,
                                   scf_method=scf, aspc_k=aspc_k,
                                   aspc_n_corr=n_corr,
-                                  nlist_skin=0.02, **kw))
+                                  nlist_skin=skin, **kw))
     # margin 1.6: a 50 ps NVE window samples far deeper density
     # fluctuations than the 0.2 ps bench windows - margin 1.3 overflowed
     # ~10 ps into the first long run (truncated lists then corrupt the
@@ -152,7 +152,7 @@ def build(dt_fs, aspc_k, kahan, n_corr=1, scf='aspc', epsilon=1e-3,
 
 def run(dt_fs, aspc_k, kahan, steps, therm, seg, seed=0, t_target=300.0,
         n_corr=1, scf='aspc', epsilon=1e-3, terms=None, ewald_tol=1e-4,
-        disp_switch=0.0):
+        disp_switch=0.0, skin=0.02):
     import jax
     import jax.numpy as jnp
 
@@ -162,7 +162,7 @@ def run(dt_fs, aspc_k, kahan, steps, therm, seg, seed=0, t_target=300.0,
                                             epsilon=epsilon, terms=terms,
                                             ewald_tol=ewald_tol,
                                             disp_switch=disp_switch,
-                                            seed=seed)
+                                            skin=skin, seed=seed)
     ndof = 3 * int((masses > 0).sum())
 
     def ke(carry):
@@ -215,7 +215,7 @@ def run(dt_fs, aspc_k, kahan, steps, therm, seg, seed=0, t_target=300.0,
         variant=dict(dt_fs=dt_fs, aspc_k=aspc_k, kahan=bool(kahan),
                      n_corr=n_corr, scf=scf, epsilon=epsilon, terms=terms,
                      ewald_tol=ewald_tol, disp_switch=disp_switch,
-                     steps=steps, therm=therm, seed=seed),
+                     skin=skin, steps=steps, therm=therm, seed=seed),
         temperature_K=round(t_now, 1),
         window_ps=round(float(ts[-1] - ts[0]), 3),
         steps_per_second=round(steps / elapsed, 1),
@@ -241,6 +241,7 @@ def main():
     ap.add_argument('--scf', default='aspc', choices=['aspc', 'sor', 'diis'])
     ap.add_argument('--ewald-tol', type=float, default=1e-4)
     ap.add_argument('--disp-switch', type=float, default=0.0)
+    ap.add_argument('--skin', type=float, default=0.02)
     ap.add_argument('--terms', default=None,
                     help='comma list, e.g. one_body,two_body,dispersion')
     ap.add_argument('--epsilon', type=float, default=1e-3)
@@ -249,7 +250,7 @@ def main():
     run(a.dt_fs, a.aspc_k, a.kahan, a.steps, a.therm, a.seg, a.seed,
         n_corr=a.n_corr, scf=a.scf, epsilon=a.epsilon,
         terms=None if a.terms is None else a.terms.split(','),
-        ewald_tol=a.ewald_tol, disp_switch=a.disp_switch)
+        ewald_tol=a.ewald_tol, disp_switch=a.disp_switch, skin=a.skin)
 
 
 if __name__ == '__main__':
