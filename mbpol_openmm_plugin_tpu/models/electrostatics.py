@@ -75,6 +75,9 @@ class ElecParams:
     # that dominates long-horizon f32 NVE drift (measured round 4:
     # integrator-rounding compensation alone left the drift unchanged).
     aspc_n_corr: int = 1
+    # Lowest SCF target honored at f32 (None = env/1e-4 default; see
+    # _f32_eps_floor - the typed knob for the round-4 dissipation finding)
+    scf_eps_floor: Optional[float] = None
     # water site indices for charge redistribution (None for 3-site systems)
     o_index: Optional[np.ndarray] = None
     h1_index: Optional[np.ndarray] = None
@@ -288,7 +291,7 @@ def _dipole_field(mu, s3, s5, delta):
     return f
 
 
-def _f32_eps_floor():
+def _f32_eps_floor(override=None):
     """Lowest SCF convergence target honored at float32.
 
     The historical clamp was 1e-4 (round 2): the convergence metric
@@ -298,17 +301,23 @@ def _f32_eps_floor():
     the lagging dipoles do negative work every step), and the metric's
     actual f32 resolution is ~|mu| * 2^-24 ~ 3e-8 D, so far tighter
     targets are representable. The floor stays overridable rather than
-    hard-wired: MBPOL_F32_SCF_EPS_FLOOR (default keeps the historical
-    1e-4 - the f32 loop may plateau-abort below ~1e-6, so tightening is
-    an explicit choice, e.g. the NVE drift study).
+    hard-wired: the typed config field (MBPolConfig.scf_eps_floor ->
+    ElecParams.scf_eps_floor, passed here as `override`) is the
+    production control; the MBPOL_F32_SCF_EPS_FLOOR env var remains as a
+    tooling override when no typed value is set. Default keeps the
+    historical 1e-4 - the f32 loop may plateau-abort below ~1e-6, so
+    tightening is an explicit choice, e.g. the NVE drift study.
     """
+    if override is not None:
+        return float(override)
     import os
     return float(os.environ.get('MBPOL_F32_SCF_EPS_FLOOR', 1e-4))
 
 
 def scf_induced_dipoles_diis(efield_alpha, alpha, s3, s5, delta, target_epsilon,
                              max_iterations, extra_field=None, mu0=None,
-                             depth=5, dipole_field=None, n_eps=None):
+                             depth=5, dipole_field=None, n_eps=None,
+                             eps_floor=None):
     """DIIS/Anderson-accelerated SCF (the reference's CUDA platform uses DIIS
     for the same reason, multipoleInducedField.cu:374-482 - but solves the
     small system on the host; here everything stays on device).
@@ -324,7 +333,7 @@ def scf_induced_dipoles_diis(efield_alpha, alpha, s3, s5, delta, target_epsilon,
     dtype = efield_alpha.dtype
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
     if dtype == jnp.float32:
-        target_epsilon = max(target_epsilon, _f32_eps_floor())
+        target_epsilon = max(target_epsilon, _f32_eps_floor(eps_floor))
 
     def gmap(mu):
         field = (_dipole_field(mu, s3, s5, delta) if dipole_field is None
@@ -402,7 +411,7 @@ def scf_induced_dipoles_diis(efield_alpha, alpha, s3, s5, delta, target_epsilon,
 
 def scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta, target_epsilon,
                         max_iterations, extra_field=None, mu0=None,
-                        dipole_field=None, n_eps=None):
+                        dipole_field=None, n_eps=None, eps_floor=None):
     """SOR fixed-point iteration for the induced dipoles.
 
     Args:
@@ -426,7 +435,7 @@ def scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta, target_epsilon,
         # resolution of the convergence metric; clamp to an achievable floor
         # (the reference kernel's own default is 1e-3,
         # MBPolReferenceKernels.cpp:133)
-        target_epsilon = max(target_epsilon, _f32_eps_floor())
+        target_epsilon = max(target_epsilon, _f32_eps_floor(eps_floor))
 
     def one_iter(mu):
         field = (_dipole_field(mu, s3, s5, delta) if dipole_field is None
@@ -487,7 +496,7 @@ def aspc_predictor_coefficients(k):
 def scf_induced_dipoles_aspc(efield_alpha, alpha, s3, s5, delta, target_epsilon,
                              max_iterations, extra_field=None, mu0=None,
                              dipole_field=None, omega=5.0 / 9.0, n_corr=1,
-                             n_eps=None):
+                             n_eps=None, eps_floor=None):
     """Always-stable predictor-corrector (Kolafa ASPC) dipole closure.
 
     Exactly ONE damped SCF iteration applied to the caller-supplied predictor
@@ -510,7 +519,8 @@ def scf_induced_dipoles_aspc(efield_alpha, alpha, s3, s5, delta, target_epsilon,
         return scf_induced_dipoles(efield_alpha, alpha, s3, s5, delta,
                                    target_epsilon, max_iterations,
                                    extra_field=extra_field,
-                                   dipole_field=dipole_field, n_eps=n_eps)
+                                   dipole_field=dipole_field, n_eps=n_eps,
+                                   eps_floor=eps_floor)
     n = n_eps or efield_alpha.shape[0]   # metric divisor: ACTIVE sites
 
     # The corrector must be THIS MODEL'S convergent self-consistency
@@ -555,15 +565,17 @@ def scf_induced_dipoles_aspc(efield_alpha, alpha, s3, s5, delta, target_epsilon,
 
 def make_scf(params):
     """SCF solver for params.scf_method ('sor' | 'diis' | 'aspc')."""
+    floor = getattr(params, 'scf_eps_floor', None)
     if params.scf_method == 'diis':
-        return scf_induced_dipoles_diis
+        return functools.partial(scf_induced_dipoles_diis, eps_floor=floor)
     if params.scf_method == 'aspc':
         return functools.partial(scf_induced_dipoles_aspc,
                                  omega=aspc_omega(params.aspc_k),
-                                 n_corr=getattr(params, 'aspc_n_corr', 1))
+                                 n_corr=getattr(params, 'aspc_n_corr', 1),
+                                 eps_floor=floor)
     if params.scf_method != 'sor':
         raise ValueError(f'unknown scf_method {params.scf_method!r}')
-    return scf_induced_dipoles
+    return functools.partial(scf_induced_dipoles, eps_floor=floor)
 
 
 # ----------------------------------------------------------------------

@@ -201,7 +201,10 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
     n_sites = 4 * nmol
     target = params.target_epsilon
     if dtype == jnp.float32:
-        target = max(target, 1e-4)
+        # same floor policy as the dense path (typed config knob wins,
+        # then MBPOL_F32_SCF_EPS_FLOOR, then the historical 1e-4)
+        target = max(target, elec._f32_eps_floor(
+            getattr(params, 'scf_eps_floor', None)))
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
     efield_alpha = efield * alpha_pol4[:, :, None]
 

@@ -113,6 +113,20 @@ class MBPolConfig:
     # (setUseSwitchingFunction); forces stay consistent automatically
     # (autodiff of the switched energy).
     dispersion_switch_width: float = 0.0
+    # Lowest SCF convergence target honored at float32 (None = the
+    # historical 1e-4, overridable via MBPOL_F32_SCF_EPS_FLOOR for
+    # tooling). Physics-affecting: round 4 measured the f32 SOR loop at
+    # eps 1e-4 as strongly dissipative in NVE (-10,000 K/ns, water256);
+    # the typed field is the production way to tighten it
+    # (models/electrostatics._f32_eps_floor).
+    scf_eps_floor: Optional[float] = None
+    # PIP evaluator implementation / basis-construction mode
+    # (ops/polyeval.pip_apply): impl in {'quad' (default), 'monomial',
+    # 'pallas', 'quad_pallas', 'quad_bf16', 'vech_pallas'}, basis in
+    # {'gather' (default), 'bf16x3', 'vech'}. None = MBPOL_PIP_IMPL /
+    # MBPOL_PIP_BASIS env fallback, then the defaults.
+    pip_impl: Optional[str] = None
+    pip_basis: Optional[str] = None
     terms: tuple = ('electrostatics', 'one_body', 'two_body', 'three_body', 'dispersion')
 
 
@@ -201,7 +215,8 @@ class MBPol:
                 max_iterations=config.max_iterations,
                 scf_method=config.scf_method,
                 aspc_k=config.aspc_k,
-                aspc_n_corr=config.aspc_n_corr)
+                aspc_n_corr=config.aspc_n_corr,
+                scf_eps_floor=config.scf_eps_floor)
             if config.thole is not None:
                 self.elec_params = dataclasses.replace(
                     self.elec_params, thole=np.asarray(config.thole))
@@ -488,12 +503,15 @@ class MBPol:
         pl = tl = None
         if nlists is not None:
             pl, tl = nlists
+        pip = (cfg.pip_impl, cfg.pip_basis)
         if 'two_body' in cfg.terms:
-            parts['two_body'] = (two_body_energy(sys_, pos, pl[0], pl[1], box=box)
-                                 if pl is not None else two_body_energy(sys_, pos, box=box))
+            parts['two_body'] = (two_body_energy(sys_, pos, pl[0], pl[1], box=box, pip=pip)
+                                 if pl is not None
+                                 else two_body_energy(sys_, pos, box=box, pip=pip))
         if 'three_body' in cfg.terms:
-            parts['three_body'] = (three_body_energy(sys_, pos, tl[0], tl[1], box=box)
-                                   if tl is not None else three_body_energy(sys_, pos, box=box))
+            parts['three_body'] = (three_body_energy(sys_, pos, tl[0], tl[1], box=box, pip=pip)
+                                   if tl is not None
+                                   else three_body_energy(sys_, pos, box=box, pip=pip))
         if 'dispersion' in cfg.terms:
             sw = cfg.dispersion_switch_width
             if disp_pairs is not None:

@@ -51,12 +51,14 @@ def _image_triplet(pos_a, pos_b, pos_c, box):
     return tuple(out)
 
 
-def three_body_energy_triplets(pos_a, pos_b, pos_c, valid):
+def three_body_energy_triplets(pos_a, pos_b, pos_c, valid, pip=None):
     """Three-body energy for a batch of molecule triplets.
 
     Args:
       pos_a/b/c: [T, 3, 3] monomer positions (O,H1,H2) in Angstrom.
       valid: [T] bool mask.
+      pip: optional (impl, basis) pair selecting the polynomial evaluator
+        (MBPolConfig.pip_impl/pip_basis; None entries = env/default).
     Returns:
       [T] energies in kcal/mol.
     """
@@ -116,7 +118,8 @@ def three_body_energy_triplets(pos_a, pos_b, pos_c, valid):
         var(kOO, dOO, oa, ob), var(kOO, dOO, oa, oc), var(kOO, dOO, ob, oc),
     ], axis=-1)
 
-    e_poly = pip_apply('poly3b')(x)
+    impl, basis = pip or (None, None)
+    e_poly = pip_apply('poly3b', impl=impl, basis=basis)(x)
 
     sab = f_switch(rab, c['r3i'], c['r3f'])
     sac = f_switch(rac, c['r3i'], c['r3f'])
@@ -126,7 +129,8 @@ def three_body_energy_triplets(pos_a, pos_b, pos_c, valid):
     return jnp.where(active, s * e_poly, jnp.zeros((), dtype))
 
 
-def three_body_energy(system: System, positions, triplets=None, triplet_mask=None, box=None):
+def three_body_energy(system: System, positions, triplets=None, triplet_mask=None, box=None,
+                      pip=None):
     """Total three-body energy in kJ/mol.
 
     Args:
@@ -152,5 +156,5 @@ def three_body_energy(system: System, positions, triplets=None, triplet_mask=Non
         b = system.box if box is None else box
         box_a = jnp.asarray(b, positions.dtype) * units.NM_TO_ANGSTROM
         pos_a, pos_b, pos_c = _image_triplet(pos_a, pos_b, pos_c, box_a)
-    e_kcal = three_body_energy_triplets(pos_a, pos_b, pos_c, triplet_mask)
+    e_kcal = three_body_energy_triplets(pos_a, pos_b, pos_c, triplet_mask, pip=pip)
     return jnp.sum(e_kcal) * units.KCAL_PER_MOL_TO_KJ_PER_MOL

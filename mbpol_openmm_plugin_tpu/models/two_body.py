@@ -77,13 +77,15 @@ def _safe_norm(d, eps=1e-12):
     return jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), eps))
 
 
-def two_body_energy_pairs(pos_a, pos_b, valid):
+def two_body_energy_pairs(pos_a, pos_b, valid, pip=None):
     """Two-body energy for a batch of molecule pairs.
 
     Args:
       pos_a, pos_b: [P, 3, 3] monomer positions (O,H1,H2) in Angstrom,
         already imaged if periodic.
       valid: [P] bool mask for padded/invalid entries.
+      pip: optional (impl, basis) pair selecting the polynomial evaluator
+        (MBPolConfig.pip_impl/pip_basis; None entries = env/default).
     Returns:
       [P] pair energies in kcal/mol.
     """
@@ -156,12 +158,14 @@ def two_body_energy_pairs(pos_a, pos_b, valid):
         v_exp_inter(c['k_XX_main'], xa2, xb2),
     ], axis=-1)
 
-    e_poly = pip_apply('poly2b')(x)
+    impl, basis = pip or (None, None)
+    e_poly = pip_apply('poly2b', impl=impl, basis=basis)(x)
     sw = f_switch(roo, c['r2i'], c['r2f'])
     return jnp.where(active, sw * e_poly, jnp.zeros((), dtype))
 
 
-def two_body_energy(system: System, positions, pairs=None, pair_mask=None, box=None):
+def two_body_energy(system: System, positions, pairs=None, pair_mask=None, box=None,
+                    pip=None):
     """Total two-body energy in kJ/mol.
 
     Args:
@@ -184,5 +188,5 @@ def two_body_energy(system: System, positions, pairs=None, pair_mask=None, box=N
         b = system.box if box is None else box
         box_a = jnp.asarray(b, positions.dtype) * units.NM_TO_ANGSTROM
         pos_a, pos_b = _image_pair(pos_a, pos_b, box_a)
-    e_kcal = two_body_energy_pairs(pos_a, pos_b, pair_mask)
+    e_kcal = two_body_energy_pairs(pos_a, pos_b, pair_mask, pip=pip)
     return jnp.sum(e_kcal) * units.KCAL_PER_MOL_TO_KJ_PER_MOL

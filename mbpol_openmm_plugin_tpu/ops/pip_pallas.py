@@ -346,6 +346,13 @@ def _vech_tables(name):
     from mbpol_openmm_plugin_tpu.ops.polyeval import load_quad_vech
     import ml_dtypes
     F, W = load_quad_vech(name)
+    # The kernel computes W @ m2 in the transposed layout where the
+    # quadratic form needs W^T @ m2, and the 2*m2*wm gradient assumes the
+    # same: both are only correct for SYMMETRIC W. True for the shipped
+    # poly2b/poly3b tables by construction; assert so an asymmetric future
+    # table fails loudly instead of silently evaluating wrong.
+    if not np.array_equal(W, W.T):
+        raise ValueError(f'{name}: vech kernel requires symmetric W')
     b, nv = F.shape
     va = nv + 1
     assert va < _EROW

@@ -256,13 +256,14 @@ def _quad_factor_selectors_bf16(name):
     return (jnp.asarray(A, jnp.bfloat16), jnp.asarray(B, jnp.bfloat16))
 
 
-def quad_basis(x, name):
+def quad_basis(x, name, choice=None):
     """Degree-<=2 basis monomials by exact products of the augmented
     variables xa = [x, 1]: numerically identical selection via either a
     static lane gather or one-hot bf16 MXU passes, multiplied pairwise.
     Exact in f32 either way (one product rounding), no transcendentals.
 
-    Implementation choice (MBPOL_PIP_BASIS, default 'gather'):
+    Implementation choice (`choice` arg; None falls back to the
+    MBPOL_PIP_BASIS env override, default 'gather'):
       'gather' - static column gathers. Round 3: 1.56 ms of the 3B term's
         2.06 ms standalone cost at the 23.8k-triplet batch (minor-axis
         gathers are VPU-lane-shuffle bound on TPU).
@@ -278,10 +279,13 @@ def quad_basis(x, name):
         kept as the recorded negative result and as the building block
         for a fused Pallas kernel (where fusion is manual anyway).
     """
-    choice = _basis_choice()
+    if choice is None:
+        choice = _basis_choice()
     xa = jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
     if choice == 'vech':
-        # REQUIRES the load_quad_vech-permuted W/F (pip_apply handles this)
+        # REQUIRES the load_quad_vech-permuted W/F (pip_apply couples the
+        # table set to this choice; direct callers must pass matching
+        # tables - see pip_quad_energy_and_grad's `basis` arg)
         return _vech_basis(xa)
     if choice == 'bf16x3':
         A, B = _quad_factor_selectors_bf16(name)
@@ -296,10 +300,17 @@ def _basis_choice():
     return os.environ.get('MBPOL_PIP_BASIS', 'gather')
 
 
-def pip_quad_energy_and_grad(x, F, W, name=None):
+def pip_quad_energy_and_grad(x, F, W, name=None, basis=None):
     """Quadratic-form PIP evaluation: ~18x fewer FLOPs than the monomial
     expansion (528/703-column basis instead of 12.7k/33.5k monomials), with
-    the gradient reusing the W matvec: dE/dm2 = 2 W m2."""
+    the gradient reusing the W matvec: dE/dm2 = 2 W m2.
+
+    `basis` selects the basis-construction mode ('gather' | 'bf16x3' |
+    'vech'; None = MBPOL_PIP_BASIS env fallback) and MUST match the
+    ordering of the supplied F/W tables: 'vech' requires the
+    load_quad_vech-permuted tables, the others the load_quad file order.
+    pip_apply threads both from one resolved choice so they cannot drift
+    apart."""
     # The W matvec must run at HIGHEST: its coefficient cancellation on
     # *physical* configurations (variables spanning e-4..1) loses ~46
     # kcal/mol on water256 at HIGH/bf16x3 (random-point tests do not expose
@@ -315,7 +326,7 @@ def pip_quad_energy_and_grad(x, F, W, name=None):
     # one-hot-matmul variant of the same idea costs +1.9 ms/step - tiny-K
     # HIGHEST matmuls lower poorly - hence the gather form).
     if name is not None:
-        m2 = quad_basis(x, name)
+        m2 = quad_basis(x, name, choice=basis)
     else:
         m2 = jnp.exp(jnp.dot(jnp.log(x), Ft.T,
                              precision=jax.lax.Precision.HIGHEST))
@@ -325,43 +336,58 @@ def pip_quad_energy_and_grad(x, F, W, name=None):
     return e, g
 
 
-def _pip_impl_choice(dtype):
+_PALLAS_IMPLS = ('pallas', 'quad_pallas', 'quad_bf16', 'vech_pallas')
+
+
+def _pip_impl_choice(dtype, override=None):
     """'quad' (default): quadratic-form factorization, fastest everywhere.
-    'pallas': fused monomial kernel (TPU f32 only). 'monomial': plain jnp
-    monomial matmuls. Override with MBPOL_PIP_IMPL."""
+    'pallas'/'quad_pallas'/'quad_bf16'/'vech_pallas': fused TPU kernels
+    (f32 only). 'monomial': plain jnp monomial matmuls. `override` (from
+    MBPolConfig.pip_impl) wins over the MBPOL_PIP_IMPL env var.
+
+    Every Pallas-backed choice falls back off-TPU or off-f32: a real
+    pallas_call would fail to lower on CPU or silently mis-lower at f64
+    (advisor round 4). The fused-quad kernels fall back to 'quad' (same
+    quadratic form via XLA), the monomial kernel to 'monomial'."""
     import os
-    choice = os.environ.get('MBPOL_PIP_IMPL', 'quad')
-    if choice == 'pallas' and (dtype != jnp.float32
-                               or jax.default_backend() == 'cpu'):
-        return 'monomial'
+    choice = override or os.environ.get('MBPOL_PIP_IMPL', 'quad')
+    if choice in _PALLAS_IMPLS and (dtype != jnp.float32
+                                    or jax.default_backend() == 'cpu'):
+        return 'monomial' if choice == 'pallas' else 'quad'
     return choice
 
 
 @functools.lru_cache(maxsize=None)
-def pip_apply(name):
+def pip_apply(name, impl=None, basis=None):
     """Batched PIP energy fn with an analytic-gradient VJP.
 
     Returns f(x[P, nvars]) -> e[P], differentiable once. The default
     implementation is the quadratic-form factorization (load_quad); the
     gradient is saved as the VJP residual so reverse-mode never
     rematerializes the basis/monomial matrices.
+
+    `impl`/`basis` are the typed knobs (MBPolConfig.pip_impl/pip_basis);
+    None falls back to the MBPOL_PIP_IMPL/MBPOL_PIP_BASIS env overrides
+    (tooling), then the defaults ('quad'/'gather').
     """
     pip = load_pip(name)
     exponents = pip.exponents
     coeffs = pip.coeffs
 
-    def impl(x):
-        choice = _pip_impl_choice(x.dtype)
+    def impl_fn(x):
+        choice = _pip_impl_choice(x.dtype, override=impl)
+        basis_choice = basis or _basis_choice()
         if choice == 'quad':
             # XLA path: Mosaic cannot lower HIGH-precision dots, and the
             # fused Pallas variant (pip_quad_energy_grad_tpu) is 9x slower
             # at HIGHEST; XLA fuses this fine. The basis mode decides the
             # (statically permuted) table set - the vech order needs W/F
-            # rows matched to the structured outer-product column order.
-            F, W = (load_quad_vech(name) if _basis_choice() == 'vech'
+            # rows matched to the structured outer-product column order;
+            # both come from the single `basis_choice` here.
+            F, W = (load_quad_vech(name) if basis_choice == 'vech'
                     else load_quad(name))
             return pip_quad_energy_and_grad(x, jnp.asarray(F), jnp.asarray(W),
-                                            name=name)
+                                            name=name, basis=basis_choice)
         if choice == 'quad_pallas':
             from mbpol_openmm_plugin_tpu.ops.pip_pallas import \
                 pip_quad_energy_grad_tpu
@@ -385,7 +411,7 @@ def pip_apply(name):
 
     @jax.custom_jvp
     def f(x):
-        return impl(x)[0]
+        return impl_fn(x)[0]
 
     @f.defjvp
     def f_jvp(primals, tangents):
@@ -395,7 +421,7 @@ def pip_apply(name):
         # scalar derivatives like the virial dU/dlambda (md/pressure.py),
         # where reverse-mode is unavailable through the SCF while_loop.
         (x,), (xdot,) = primals, tangents
-        e, g = impl(x)
+        e, g = impl_fn(x)
         return e, jnp.sum(g * xdot, axis=-1)
 
     return f

@@ -165,7 +165,7 @@ def test_vech_pallas_kernel_interpret_matches_xla():
         F, W = P.load_quad(name)
         e0, g0 = P.pip_quad_energy_and_grad(x64, jnp.asarray(F),
                                             jnp.asarray(W), name=None)
-        ex, _ = P.pip_quad_energy_and_grad(
+        ex, gx = P.pip_quad_energy_and_grad(
             x32, jnp.asarray(F, jnp.float32), jnp.asarray(W, jnp.float32),
             name=name)
         e1, g1 = pip_vech_energy_grad_tpu(name, x32, interpret=True)
@@ -177,4 +177,47 @@ def test_vech_pallas_kernel_interpret_matches_xla():
         # XLA HIGHEST codegen but must stay in the same accuracy class
         assert np.isfinite(err_k)
         assert err_k < max(20.0 * err_xla, 1e-3), (name, err_k, err_xla)
-        assert g1.shape == (300, nv)
+        # force path: the F^T contraction + /x gradient must track the f64
+        # oracle VALUE-wise, not just shape-wise - a wrong Ftp permutation,
+        # a dropped /x, or a W-transpose bug all flip this by orders of
+        # magnitude while leaving the energy check green (advisor round 4).
+        # Band: same multiplicative allowance over the f32 XLA gradient
+        # error as the energy check, with an absolute floor for the bf16x6
+        # emulation noise.
+        gsc = float(np.abs(np.asarray(g0)).max())
+        err_g_xla = float(np.max(np.abs(np.asarray(gx, np.float64)
+                                        - np.asarray(g0))))
+        err_g_k = float(np.max(np.abs(np.asarray(g1, np.float64)
+                                      - np.asarray(g0))))
+        assert np.isfinite(err_g_k)
+        assert err_g_k < max(20.0 * err_g_xla, 5e-3 * gsc), \
+            (name, err_g_k, err_g_xla, gsc)
+
+
+def test_pip_typed_config_knobs(monkeypatch):
+    """MBPolConfig.pip_impl/pip_basis select the evaluator without env vars
+    (round-4 verdict: no physics-affecting default reachable only via
+    os.environ), and the vech basis choice drags the matching permuted
+    tables with it (the basis/table coupling is a single resolved value)."""
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+    sys_, pos = _as_full_positions(WATER3_POS)
+    monkeypatch.delenv('MBPOL_PIP_BASIS', raising=False)
+    monkeypatch.delenv('MBPOL_PIP_IMPL', raising=False)
+    e_ref = None
+    for impl, basis in ((None, None), ('quad', 'vech'), ('monomial', None)):
+        pot = MBPol(sys_, MBPolConfig(terms=('two_body', 'three_body'),
+                                      pip_impl=impl, pip_basis=basis))
+        e, _, parts, _ = pot.energy_forces(jnp.asarray(pos))
+        if e_ref is None:
+            e_ref = float(e)
+        else:
+            assert abs(float(e) - e_ref) < 1e-6 * max(1.0, abs(e_ref)), \
+                (impl, basis, float(e), e_ref)
+
+
+def test_scf_eps_floor_typed_config():
+    """The typed scf_eps_floor reaches the f32 SCF clamp (and wins over
+    the env default)."""
+    from mbpol_openmm_plugin_tpu.models import electrostatics as E
+    assert E._f32_eps_floor(None) == 1e-4
+    assert E._f32_eps_floor(1e-6) == 1e-6

@@ -24,12 +24,37 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def time_fn(f, x, n=30):
-    f(x)[1].block_until_ready()
+def make_chain(eg, n):
+    """Time n data-chained iterations under lax.scan and fetch a scalar.
+
+    Round-4 verdict weak #3: on the tunneled 'axon' platform
+    block_until_ready() returns WITHOUT synchronizing (control experiment:
+    an 8192^3 f32 matmul "completes" in 23 us = 47 PFLOP/s), so the old
+    dispatch-loop timing measured launch latency, not execution. Forcing
+    execution requires fetching a value to host; chaining the iterations
+    (each input depends on the previous output through a numerically
+    negligible 1e-30*g term XLA cannot fold away) makes ONE host fetch
+    time all n executions, like bench.py's scan-based protocol."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            e, g = eg(c)
+            # data dependence: ~3e-22 relative perturbation at the PIP
+            # variable scale (c >= e^-8), preserves positivity for log(c)
+            return c * (1.0 + 1e-30 * g), jnp.sum(e)
+        c, es = jax.lax.scan(body, x, None, length=n)
+        return jnp.sum(es) + jnp.sum(c)
+    return chain
+
+
+def time_fn(eg, x, n=50):
+    chain = make_chain(eg, n)
+    float(np.asarray(chain(x)))          # compile + warm (fetch = sync)
     t0 = time.perf_counter()
-    for _ in range(n):
-        e, g = f(x)
-    g.block_until_ready()
+    float(np.asarray(chain(x)))          # scalar fetch forces execution
     return (time.perf_counter() - t0) / n * 1e3
 
 
@@ -46,14 +71,12 @@ def main():
         x = jnp.asarray(np.exp(rng.uniform(-8, 0, (batch, nv))), jnp.float32)
         ref = None
         for mode in ('gather', 'vech', 'quad_bf16', 'vech_pallas'):
+            # typed knobs (round 5): impl/basis are explicit pip_apply
+            # args now - no env mutation, no cache_clear
             if mode in ('quad_bf16', 'vech_pallas'):
-                os.environ['MBPOL_PIP_BASIS'] = 'gather'
-                os.environ['MBPOL_PIP_IMPL'] = mode
+                f = pe.pip_apply(name, impl=mode, basis='gather')
             else:
-                os.environ['MBPOL_PIP_BASIS'] = mode
-                os.environ['MBPOL_PIP_IMPL'] = 'quad'
-            pe.pip_apply.cache_clear()
-            f = pe.pip_apply(name)
+                f = pe.pip_apply(name, impl='quad', basis=mode)
 
             def eg(x, f=f):
                 e, g = jax.jvp(f, (x,), (jnp.ones_like(x),))
@@ -61,7 +84,7 @@ def main():
                 return e, gr
 
             eg_j = jax.jit(eg)
-            ms = time_fn(eg_j, x)
+            ms = time_fn(eg, x)
             e, g = eg_j(x)
             if ref is None:
                 ref = (np.asarray(e), np.asarray(g))

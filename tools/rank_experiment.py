@@ -90,8 +90,8 @@ def pair_vars(n_max=8192):
 
     real_apply = _twb.pip_apply
 
-    def fake_apply(name):
-        fn = real_apply(name)
+    def fake_apply(name, **kw):
+        fn = real_apply(name, **kw)
 
         def wrapper(x):
             captured['x'] = np.asarray(x)
