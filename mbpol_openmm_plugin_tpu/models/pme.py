@@ -518,8 +518,21 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
         efield = efield + ef_direct
     else:
         # direct space (calculateFixedElectrostaticsFieldPairIxn PME, cpp:1342-1407)
-        s3cc_eff = jnp.where(same_mol, 2.0, s_cc[3])
-        kdir = bn1 - (s3cc_eff - 1.0) * rr3c
+        # Cross-water damping correction sign FIXED vs the reference
+        # (cpp:1386-1388, marked "FIXME verify this" there): the reference
+        # uses kdir = bn1 - (s3-1)*rr3, i.e. bn1 + (1-s3)*rr3, which makes
+        # the SCF's fixed-field OPERATOR disagree with the energy's q-mu
+        # coupling (bn1 - rr3*(1-s3cd), e_pair below) - measured round 5 as
+        # a force/energy inconsistency of ~3% of the total electrostatic
+        # force at water256 (first order in mu, concentrated on Thole-
+        # damped H-bond pairs), heating f32 NVE at O(100) K/ns. With the
+        # sign fixed the PME fixed field also matches the cluster field
+        # (lambda3*rr3) in the alpha->0 huge-box limit, which the
+        # reference's own formula does not for damped pairs. Same-water
+        # pairs keep the full-removal limit bn1 - rr3 (s := 0 here; the
+        # reference encodes the same limit via its s3 := 2 hack).
+        s3cc_field = jnp.where(same_mol, 0.0, s_cc[3])
+        kdir = bn1 - (1.0 - s3cc_field) * rr3c
         kdir = jnp.where(within, kdir, 0.0)
         efield = efield - jnp.einsum('ij,j,ijd->id', kdir, charges, delta)
 
@@ -680,4 +693,9 @@ def pme_electrostatics(params: elec.ElecParams, setup: PmeSetup, positions,
             forces = forces.at[atom_idx.reshape(-1)].add(f_atoms.reshape(-1, 3))
 
     energy = f_elec * (e_direct + e_recip_fixed + e_recip_ind + e_self)
-    return energy, forces, dict(**diag, charges=charges, induced_dipoles=mu)
+    # per-site accumulated potential (direct + recip fixed + recip induced
+    # + self), the quantity contracted with dq/dr for the charge-derivative
+    # forces (cpp:2767-2773) - exposed for the dE/dq_s = phi_s consistency
+    # probe (tools/force_consistency.py) and potential diagnostics
+    return energy, forces, dict(**diag, charges=charges, induced_dipoles=mu,
+                                site_potential=pot)

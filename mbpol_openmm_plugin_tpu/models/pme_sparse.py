@@ -154,8 +154,10 @@ def pme_electrostatics_sparse(params: elec.ElecParams, setup: pme_mod.PmeSetup,
     phi = pme_mod._readback_phi10(conv, Sx, Sy, Sz)
     efield = (-pscale[None, :] * phi[:, 1:4]).reshape(nmol, 4, 3)
 
-    # direct inter: kdir = bn1 - (s3cc - 1) rr3
-    kdir = jnp.where(within, bn1 - (s_cc[3] - 1.0) * rr3, 0.0)
+    # direct inter: kdir = bn1 - (1 - s3cc) rr3  (cross-water damping sign
+    # FIXED vs the reference's bn1 - (s3-1) rr3; see models/pme.py - the
+    # SCF field operator must match the energy's q-mu coupling)
+    kdir = jnp.where(within, bn1 - (1.0 - s_cc[3]) * rr3, 0.0)
     fa = -jnp.einsum('pab,pb,pabd->pad', kdir, qb, delta)
     fb = jnp.einsum('pab,pa,pabd->pbd', kdir, qa, delta)
     efield = efield + seg_a(fa) + seg(fb, ib)

@@ -194,9 +194,11 @@ def _fixed_field_kernel(consts, n_sites, srow_ref, scol_ref, ef_ref,
     s5_ref[:] = t['bn2'] - (1.0 - t['s_dd5']) * t['rr5c']
 
     # fixed charge field: same-water keeps only the reciprocal correction
-    # (s3cc := 2, cpp:1382-1384)
-    s3cc_eff = jnp.where(t['same_mol'], 2.0, t['s_cc3'])
-    kdir = (t['bn1'] - (s3cc_eff - 1.0) * t['rr3c']) * t['w']
+    # (full removal bn1 - rr3; s := 0). Cross-water damping sign FIXED vs
+    # the reference's (s3-1) form - see models/pme.py for the measured
+    # force/energy-consistency analysis.
+    s3cc_eff = jnp.where(t['same_mol'], 0.0, t['s_cc3'])
+    kdir = (t['bn1'] - (1.0 - s3cc_eff) * t['rr3c']) * t['w']
     qj = scol[_Q:_Q + 1, :]
     kq = kdir * qj
     acc_ref[:, 0:1] -= jnp.sum(kq * t['dx'], axis=1, keepdims=True)
@@ -338,8 +340,8 @@ def _fixed_field_kernel_tri(consts, n_sites, srow_ref, scol_ref, ef_ref,
         s3_ref[:] = ((1.0 - t['s_dd3']) * t['rr3c'] - t['bn1']) * tri
         s5_ref[:] = (t['bn2'] - (1.0 - t['s_dd5']) * t['rr5c']) * tri
 
-        s3cc_eff = jnp.where(t['same_mol'], 2.0, t['s_cc3'])
-        kdir = (t['bn1'] - (s3cc_eff - 1.0) * t['rr3c']) * t['w'] * tri
+        s3cc_eff = jnp.where(t['same_mol'], 0.0, t['s_cc3'])
+        kdir = (t['bn1'] - (1.0 - s3cc_eff) * t['rr3c']) * t['w'] * tri
         qi = srow[:, _Q:_Q + 1]
         qj = scol[_Q:_Q + 1, :]
         kq = kdir * qj

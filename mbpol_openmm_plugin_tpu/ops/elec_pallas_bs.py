@@ -196,8 +196,9 @@ def _fixed_field_bs_kernel(consts, n_sites, ti_ref, tj_ref, meta_ref,
     s3_ref[0] = v * ((1.0 - t['s_dd3']) * t['rr3c'] - t['bn1'])
     s5_ref[0] = v * (t['bn2'] - (1.0 - t['s_dd5']) * t['rr5c'])
 
-    s3cc_eff = jnp.where(t['same_mol'], 2.0, t['s_cc3'])
-    kdir = (t['bn1'] - (s3cc_eff - 1.0) * t['rr3c']) * t['w'] * v
+    # cross-water damping sign FIXED vs the reference (see models/pme.py)
+    s3cc_eff = jnp.where(t['same_mol'], 0.0, t['s_cc3'])
+    kdir = (t['bn1'] - (1.0 - s3cc_eff) * t['rr3c']) * t['w'] * v
     qj = scol[_Q:_Q + 1, :]
     kq = kdir * qj
     ef_ref[:, 0:1] -= jnp.sum(kq * t['dx'], axis=1, keepdims=True)

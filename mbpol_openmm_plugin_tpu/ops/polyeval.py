@@ -53,6 +53,24 @@ def load_pip(name):
 _PREC = jax.lax.Precision.HIGH
 
 
+def _grad_prec():
+    """Precision of the PIP gradient contraction (m2*(2wm)) @ F.
+
+    Default HIGHEST (round-5 drift measurement, water256 f32 NVE without
+    electrostatics, 10 ps windows on chip): the HIGH (bf16x3) gradient
+    contraction's rounding is WHITE FORCE NOISE that heats the system at
+    +575 K/ns; at HIGHEST the same arm measures -9 K/ns. Cost: ~10% on
+    the PIP-only step (one 6-pass vs 3-pass [P,B]@[B,V] matmul), a few
+    percent of a full step. Energy accuracy was never the issue (HIGH
+    measures identical to HIGHEST there) - conservation is.
+    MBPOL_PIP_GRAD_PREC=high restores the old behavior for A/B runs.
+    """
+    import os
+    v = os.environ.get('MBPOL_PIP_GRAD_PREC', 'highest')
+    return (jax.lax.Precision.HIGHEST if v.lower() == 'highest'
+            else jax.lax.Precision.HIGH)
+
+
 def pip_energy(x, exponents, coeffs):
     """Batched PIP evaluation.
 
@@ -332,7 +350,7 @@ def pip_quad_energy_and_grad(x, F, W, name=None, basis=None):
                              precision=jax.lax.Precision.HIGHEST))
     wm = jnp.dot(m2, Wt, precision=jax.lax.Precision.HIGHEST)
     e = jnp.sum(m2 * wm, axis=-1)
-    g = jnp.dot(m2 * (2.0 * wm), Ft, precision=_PREC) / x
+    g = jnp.dot(m2 * (2.0 * wm), Ft, precision=_grad_prec()) / x
     return e, g
 
 

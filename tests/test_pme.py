@@ -7,6 +7,7 @@ Sources (platforms/reference/tests/TestReferenceMBPolElectrostaticsForce.cpp):
     redistribution, box 1.8 nm, cutoff 0.9 nm, auto alpha/grid from
     tol=1e-4: E = -66.7426 kJ/mol (rel. tol 1e-2).
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,3 +73,41 @@ def test_separable_chunked_matches_single_shot(monkeypatch):
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(back_c), np.asarray(ref_back),
                                atol=1e-12)
+
+
+def test_pme_force_energy_consistency_directional():
+    """The explicit PME electrostatic forces must be the gradient of the
+    reported energy (round-5 regression test).
+
+    The reference's PME fixed-field pair formula (cpp:1386-1388, marked
+    "FIXME verify this" there) flips the sign of the cross-water Thole
+    damping correction, making the SCF's field operator differ from the
+    energy's q-mu coupling - the forces then disagree with dE/dp by
+    ~0.2-3% (first order in mu, concentrated on H-bond pairs), which
+    heated f32 NVE at O(100) K/ns. This directional-derivative probe
+    pins the fix: (E(p+hu)-E(p-hu))/2h must match -F.u to ~1e-5
+    relative (f64; the pre-fix defect was 1.9e-3 on water3, 60x above
+    the threshold; finite-difference noise is ~1e-7).
+    """
+    import fixtures
+    from mbpol_openmm_plugin_tpu.models.potential import MBPol, MBPolConfig
+
+    sys_, pos = fixtures.load_system('water3', box=[1.2] * 3)
+    pos = jnp.asarray(pos, jnp.float64)
+    rng = np.random.default_rng(0)
+    m = np.asarray(sys_.masses)
+    u = rng.normal(size=pos.shape)
+    u[m == 0] = 0.0
+    u /= np.linalg.norm(u)
+    u = jnp.asarray(u)
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.45,
+                                  target_epsilon=1e-10, max_iterations=500,
+                                  terms=('electrostatics',)))
+    ef = jax.jit(lambda p: pot.energy_forces(p)[:2])
+    e0, f0 = ef(pos)
+    fu = float(jnp.sum(f0 * u))
+    h = 1e-5
+    ep, _ = ef(pos + h * u)
+    em, _ = ef(pos - h * u)
+    defect = abs(float((ep - em) / (2 * h)) + fu) / abs(fu)
+    assert defect < 1e-5, defect
