@@ -247,12 +247,15 @@ def build(dtype_bits=32, scf_mode='sor'):
     # lists valid between rebuilds while inflating the triplet batch only
     # ~1.3x (vs ~2.3x at the conservative 0.05 default for longer steps).
     aspc_k = ASPC_K if scf_mode == 'aspc' else -1
-    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
-                                  target_epsilon=1e-3 if dtype_bits == 32 else 1e-7,
-                                  max_iterations=200,
-                                  scf_method='aspc' if scf_mode == 'aspc' else 'sor',
-                                  aspc_k=max(aspc_k, 0),
-                                  nlist_skin=0.02))
+    # production dynamics operating point (round-5 drift campaign):
+    # dispersion switch 0.1 nm etc. - see MBPolConfig.for_dynamics. The
+    # golden_energy_ok gate absorbs the switch's +3.0 kcal/mol single-
+    # point shift (band +/-20).
+    pot = MBPol(sys_, MBPolConfig.for_dynamics(
+        target_epsilon=1e-3 if dtype_bits == 32 else 1e-7,
+        scf_method='aspc' if scf_mode == 'aspc' else 'sor',
+        aspc_k=max(aspc_k, 0),
+        nlist_skin=0.02))
     pot.tune_capacities(pos)
 
     bench = Bench(pot, sys_, dtype, aspc_k)
@@ -393,9 +396,7 @@ def _pimd_figure(n_beads=8, contraction=1):
     sys_ = System.waters(256, box=box)
     pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions'],
                                                   jnp.float32))
-    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
-                                  target_epsilon=1e-3, max_iterations=200,
-                                  nlist_skin=0.02))
+    pot = MBPol(sys_, MBPolConfig.for_dynamics(scf_method='sor'))
     # margin 1.3: the default 1.15 over the T=0-ish fixture counts
     # overflows after ~2000 thermalization steps at 300 K (measured) -
     # the thermal density fluctuations need the extra headroom
@@ -497,9 +498,8 @@ def _remd_figure(n_replicas=2, single_steps_per_s=None):
     # ballistic H drift (~8e-3 nm) with 2x margin, so per-block list reuse
     # (nlist_reuse) is exact; without it every step pays a full on-device
     # pair+triplet list build (~75 ms/step measured, 6x the MD step itself).
-    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
-                                  target_epsilon=1e-3, max_iterations=200,
-                                  nlist_skin=0.03))
+    pot = MBPol(sys_, MBPolConfig.for_dynamics(scf_method='sor',
+                                               nlist_skin=0.03))
     pot.tune_capacities(pos)
     sim = remd.REMDSimulation(
         pot, temperatures=remd.geometric_ladder(290.0, 330.0, n_replicas),
@@ -638,9 +638,7 @@ def _respa_figure(n_mid=3, n_inner=2, aspc_drift_per_ps=None):
     sys_ = System.waters(256, box=box)
     pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions'],
                                                   jnp.float32))
-    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
-                                  target_epsilon=1e-3, max_iterations=200,
-                                  nlist_skin=0.02))
+    pot = MBPol(sys_, MBPolConfig.for_dynamics(scf_method='sor'))
     pot.tune_capacities(pos)
     n_mid = int(os.environ.get('BENCH_RESPA_MID', n_mid))
     dt_outer = DT_FS * 1e-3 * n_inner * n_mid    # 0.2 fs innermost

@@ -129,6 +129,39 @@ class MBPolConfig:
     pip_basis: Optional[str] = None
     terms: tuple = ('electrostatics', 'one_body', 'two_body', 'three_body', 'dispersion')
 
+    @classmethod
+    def for_dynamics(cls, **overrides):
+        """The production MD operating point (round-5 drift campaign).
+
+        Single-point defaults above are strict reference parity; dynamics
+        wants the energy-conserving variants, each individually measured
+        on chip (tools/nve_drift.py, water256 f32, 10-50 ps windows):
+
+        - dispersion_switch_width=0.1: C2-switch the dispersion tail over
+          [cutoff-0.1, cutoff]. The reference's plain truncation is a
+          discontinuous force field at the cutoff sphere, worth ~200 K/ns
+          of NVE heating. (Same option OpenMM exposes on
+          CustomNonbondedForce; single-point energy shifts +3.0 kcal/mol
+          at water256, inside every golden band.)
+        - scf_method='aspc': the Kolafa predictor-corrector closure -
+          near-conservative AND ~1.3x faster than the loosely-converged
+          SOR loop, which is strongly dissipative (-10,000 K/ns at the
+          f32 eps floor 1e-4).
+        - target_epsilon=1e-3: the reference kernel's own default
+          (MBPolReferenceKernels.cpp:133) for the cold-start converges.
+        - nlist_skin=0.02: displacement-triggered list reuse (exact).
+
+        The two biggest conservation fixes need no flags - the PME
+        fixed-field operator fix and the HIGHEST PIP gradient contraction
+        are unconditional defaults (see models/pme.py, ops/polyeval.py).
+        """
+        base = dict(nonbonded_method='PME', cutoff=0.9,
+                    target_epsilon=1e-3, max_iterations=200,
+                    scf_method='aspc', aspc_k=3, aspc_n_corr=1,
+                    nlist_skin=0.02, dispersion_switch_width=0.1)
+        base.update(overrides)
+        return cls(**base)
+
 
 def with_scf_method(pot: 'MBPol', method: str, aspc_k: Optional[int] = None,
                     aspc_n_corr: Optional[int] = None):

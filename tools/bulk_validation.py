@@ -80,10 +80,7 @@ def main():
     sys_ = System.waters(256, box=box)
     pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions'],
                                                   jnp.float32))
-    pot = MBPol(sys_, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
-                                  target_epsilon=1e-3, max_iterations=200,
-                                  aspc_n_corr=a.aspc_n_corr,
-                                  nlist_skin=0.02))
+    pot = MBPol(sys_, MBPolConfig.for_dynamics(aspc_n_corr=a.aspc_n_corr))
     pot.tune_capacities(pos, margin=1.6)
 
     t0 = time.time()
@@ -128,10 +125,7 @@ def main():
     p = p + (cen * (scale - 1.0))[mol]
     box2 = [L, L, L]
     sys2 = System.waters(256, box=box2)
-    pot2 = MBPol(sys2, MBPolConfig(nonbonded_method='PME', cutoff=0.9,
-                                   target_epsilon=1e-3, max_iterations=200,
-                                   aspc_n_corr=a.aspc_n_corr,
-                                   nlist_skin=0.02))
+    pot2 = MBPol(sys2, MBPolConfig.for_dynamics(aspc_n_corr=a.aspc_n_corr))
     pot2.tune_capacities(jnp.asarray(p, jnp.float32), margin=1.6)
     cfg2 = SimulationConfig(dt=dt, temperature=None,
                             nlist_rebuild_interval='auto')
