@@ -201,6 +201,15 @@ def load_quad_vech(name):
     two minor-axis lane-gathers that round 3 measured as 1.56 ms of the
     3-body term's 2.06 ms standalone cost (VPU-lane-shuffle bound).
 
+    MEASURED VERDICT (round 5, forced-execution timing - the round-4
+    standalone numbers were dispatch latency on the tunneled platform):
+    the vech basis LOSES both standalone and in-graph (poly3b 6.49 ms
+    vs 1.97 ms for the gather path at the water256 triplet batch;
+    tools/pip_microbench.py, artifacts/pip_microbench_r05.json). The
+    slice-concat build defeats XLA's fusion of the basis into the W
+    matvec. Kept as a recorded negative result and as the host-side
+    table source for the fused vech_pallas kernel.
+
     Returns (F_nat [B, V], W_nat [B, B]) with rows/cols permuted
     consistently; numerically the same form (exact permutation).
     """
