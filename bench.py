@@ -256,7 +256,12 @@ def build(dtype_bits=32, scf_mode='sor'):
         scf_method='aspc' if scf_mode == 'aspc' else 'sor',
         aspc_k=max(aspc_k, 0),
         nlist_skin=0.02))
-    pot.tune_capacities(pos)
+    # margin 1.4: the 10 ps dedicated NVE-drift window samples deeper
+    # thermal density fluctuations than the 0.2 ps steady segments - the
+    # default 1.15 margin overflowed the 2b/3b lists late in the r05
+    # drift window (flagged, not silent). Throughput cost is ~1%
+    # (padded-batch tails are switch-masked).
+    pot.tune_capacities(pos, margin=1.4)
 
     bench = Bench(pot, sys_, dtype, aspc_k)
 
@@ -585,13 +590,21 @@ def _remd_cluster_figure(n_replicas=8):
     # chunks until >= n_replicas trips complete or the cap is hit.
     walkers = [np.asarray(out['walker'])]
     flow = remd.round_trip_stats(np.concatenate(walkers))
-    max_blocks = int(os.environ.get('BENCH_REMD_CLUSTER_MAX_BLOCKS', 2000))
+    # Measured (r5, CPU + chip): walkers partially SEGREGATE on this
+    # ladder - the 480 K top rungs visit evaporated-cluster
+    # configurations that the cold rungs rarely accept, so a full
+    # round trip takes ~2000-3000 blocks even at 0.5 mean acceptance
+    # (slot_flow ~0.3 measures local shuffling, not traversal; exactly
+    # why r3 asked for round trips as the real mixing number). Extend
+    # in 400-block chunks (~10 s each on chip) until >= R trips.
+    max_blocks = int(os.environ.get('BENCH_REMD_CLUSTER_MAX_BLOCKS', 30000))
+    chunk = 400
     total_blocks = 2 * n_blocks         # thermalize + measure so far
     while (flow['round_trips_total'] < n_replicas
            and total_blocks < max_blocks):
-        out2 = _remd_extend(n_blocks)
+        out2 = _remd_extend(chunk)
         walkers.append(np.asarray(out2['walker']))
-        total_blocks += n_blocks
+        total_blocks += chunk
         flow = remd.round_trip_stats(np.concatenate(walkers))
     flow['flow_blocks_observed'] = int(sum(len(w) for w in walkers))
     return dict(replica_steps_per_second=round(rsps, 3),
@@ -604,6 +617,7 @@ def _remd_cluster_figure(n_replicas=8):
                 acceptance_in_band=bool(0.15 <= float(acc.mean()) <= 0.55),
                 round_trips_total=flow['round_trips_total'],
                 blocks_per_round_trip=flow['blocks_per_round_trip'],
+                flow_blocks_observed=flow.get('flow_blocks_observed'),
                 slot_flow=flow['slot_flow'],
                 nan_detected=bool(np.isnan(out['potential_energy']).any()))
 

@@ -139,7 +139,21 @@ class Simulation:
             # along-trajectory semantics vs the reference default.
             from mbpol_openmm_plugin_tpu.models.potential import \
                 with_scf_method
-            self.potential = with_scf_method(potential, 'aspc')
+            # Under three-level r-RESPA the ASPC predictor runs at the MID
+            # cadence (dt * respa_inner) where its closure error - and the
+            # dissipative dipole-lag drift - grows steeply with the step
+            # (Kolafa error ~ dt^(k+2)). Measured (r5 chip ladder,
+            # tools/respa_drift.py, water256 10 ps): n_corr=1 -2748 K/ns,
+            # n_corr=2 -636, n_corr=4 -245; fully-converged DIIS mid-rung
+            # (scf='keep' on a diis potential, eps 1e-6) reaches +70. The
+            # auto default deepens the corrector to 2 for RESPA runs
+            # (~5% mid-rung cost); single-step keeps n_corr from the
+            # potential config (the +5-15 K/ns regime needs no extra).
+            n_corr = None
+            if self.config.respa_mid > 1:
+                n_corr = max(getattr(potential.config, 'aspc_n_corr', 1), 2)
+            self.potential = with_scf_method(potential, 'aspc',
+                                             aspc_n_corr=n_corr)
             _log_scf_auto_swap()
         self._key = jax.random.PRNGKey(seed)
         self.state: Optional[I.MDState] = None
