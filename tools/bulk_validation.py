@@ -53,7 +53,7 @@ def main():
     ap.add_argument('--thermostat', default='nve',
                     choices=['nve', 'langevin'])
     ap.add_argument('--aspc-n-corr', type=int, default=2)
-    ap.add_argument('--frame-every', type=int, default=20)
+    ap.add_argument('--frame-every', type=int, default=100)
     ap.add_argument('--seed', type=int, default=11)
     a = ap.parse_args()
 
@@ -96,7 +96,7 @@ def main():
     npt.step(n_eq, report_interval=min(n_eq, 2500), check_health=False)
     vols = []
     done = 0
-    seg = 500
+    seg = 2500
     while done < n_npt:
         npt.step(seg, report_interval=seg, check_health=False)
         b = np.asarray(npt.state.box, np.float64)
