@@ -168,7 +168,7 @@ def _msd_fft(r):
 
 
 def mean_squared_displacement(system: System, frames, dt, species='com',
-                              box=None, unwrap=True):
+                              box=None, unwrap=True, remove_system_com=True):
     """MSD(t) over a trajectory, for self-diffusion analysis.
 
     frames: [n_frames, natoms, 3] positions (nm); dt: frame spacing (ps).
@@ -186,6 +186,18 @@ def mean_squared_displacement(system: System, frames, dt, species='com',
         if b is not None and np.all(np.asarray(b) > 0):
             frames = unwrap_trajectory(frames, np.asarray(b))
     r = _species_select(system, frames, species)
+    if remove_system_com:
+        # Subtract the SYSTEM center-of-mass trajectory: any residual net
+        # momentum (e.g. from a thermostatted stage's last kick, or f32
+        # force rounding over long NVE runs) adds a ballistic t^2 term to
+        # every particle's MSD and inflates D_self - measured round 5 as
+        # a 3x overestimate in the bulk-validation production run. This
+        # is the standard convention for self-diffusion analysis.
+        m = np.asarray(system.masses, np.float64)
+        act = m > 0
+        com = (np.einsum('fnd,n->fd', frames[:, act], m[act])
+               / m[act].sum())
+        r = r - com[:, None, :]
     n = frames.shape[0]
     msd = _msd_fft(r)[: n // 2]
     return np.arange(n // 2) * dt, msd

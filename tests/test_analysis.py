@@ -124,8 +124,11 @@ def test_msd_brownian_recovers_diffusion_coefficient():
 
 
 def test_msd_ballistic_is_quadratic():
-    """Constant-velocity 'trajectory': MSD(t) = |v|^2 t^2 exactly, for
-    every species selector."""
+    """Constant-velocity 'trajectory': a rigid translation IS pure
+    system-COM motion, so the default (remove_system_com=True, the
+    standard self-diffusion convention - round 5: residual net momentum
+    from a thermostatted stage inflated D_self 3x) gives MSD == 0;
+    disabling the removal recovers MSD(t) = |v|^2 t^2 exactly."""
     n, dt, v = 64, 0.5, np.array([0.01, -0.02, 0.005])
     sys_ = System.waters(3)
     t_axis = np.arange(n) * dt
@@ -134,6 +137,10 @@ def test_msd_ballistic_is_quadratic():
     for sp in ('com', 'O', 'H', 'all'):
         t, msd = analysis.mean_squared_displacement(sys_, frames, dt,
                                                     species=sp, unwrap=False)
+        np.testing.assert_allclose(msd, 0.0, atol=1e-10)
+        t, msd = analysis.mean_squared_displacement(
+            sys_, frames, dt, species=sp, unwrap=False,
+            remove_system_com=False)
         np.testing.assert_allclose(msd, float(v @ v) * t ** 2, atol=1e-10)
 
 
