@@ -119,7 +119,8 @@ def respa_velocity_verlet_step(system: System, ef_fast, ef_slow,
 
 def respa3_velocity_verlet_step(system: System, ef_fast, ef_mid, ef_slow,
                                 state: MDState, f_mid, f_slow, dt,
-                                n_mid: int, n_inner: int):
+                                n_mid: int, n_inner: int,
+                                unroll_inner: bool = False):
     """One three-level r-RESPA step (Tuckerman-Berne-Martyna splitting).
 
     The outer step `dt` kicks with the SLOWEST forces (by default the
@@ -161,13 +162,24 @@ def respa3_velocity_verlet_step(system: System, ef_fast, ef_mid, ef_slow,
     # displacement-triggered list-rebuild carry) through Python mutation,
     # which is only sound when every call happens sequentially in the same
     # trace - a scanned body would capture stale tracers
+    # unroll_inner=True additionally unrolls the INNER velocity-Verlet
+    # loop (n_mid*n_inner total fast evaluations per outer step), which
+    # lets ef_fast itself carry trace-time aux state - required when the
+    # polarization (ASPC dipole history) lives on the fast rung
+    # (SimulationConfig.respa_polarization_rung='inner', the
+    # energy-conserving RESPA operating point measured round 5)
     e_fast_last = None
     e_mid = None
     for _ in range(n_mid):
         v = v + 0.5 * dtm * f_mid * inv_m
-        (pos, v, f_fast), e_fasts = jax.lax.scan(
-            inner, (pos, v, f_fast), None, length=n_inner)
-        e_fast_last = e_fasts[-1]
+        if unroll_inner:
+            for _i in range(n_inner):
+                c, e_fast_last = inner((pos, v, f_fast), None)
+                pos, v, f_fast = c
+        else:
+            (pos, v, f_fast), e_fasts = jax.lax.scan(
+                inner, (pos, v, f_fast), None, length=n_inner)
+            e_fast_last = e_fasts[-1]
         e_mid, f_mid = ef_mid(pos)
         v = v + 0.5 * dtm * f_mid * inv_m
     e_slow, f_slow = ef_slow(pos)

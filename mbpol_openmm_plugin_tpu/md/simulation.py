@@ -114,6 +114,22 @@ class SimulationConfig:
     # only. respa_mid = 1 keeps the two-level split above.
     respa_mid: int = 1
     respa_slow_terms: tuple = ('three_body',)
+    # Which rung carries the polarization/PME term under three-level
+    # r-RESPA:
+    #   'mid'   - reference split (2b + dispersion + electrostatics at
+    #             dt/respa_mid). The ASPC closure then advances at the
+    #             MID cadence where its error - and the dissipative
+    #             dipole-lag drift - grows steeply (measured r5:
+    #             -2748 K/ns at n_corr=1, -636 at n_corr=2;
+    #             tools/respa_drift.py).
+    #   'inner' - electrostatics joins the monomer term on the FAST rung
+    #             (dt/(respa_mid*respa_inner) = the base 0.2 fs step), so
+    #             the ASPC closure runs at exactly the single-step cadence
+    #             (the +5-15 K/ns regime) while the 3B/2B savings remain.
+    #             Costs one SCF+PME per base step (like single-step);
+    #             the speedup comes from 3B at 1/(mid*inner) and
+    #             2b+dispersion at 1/mid cadence.
+    respa_polarization_rung: str = 'mid'
 
 
 class Simulation:
@@ -290,6 +306,20 @@ class Simulation:
                                if t in self.config.respa_slow_terms)
             mid_terms = tuple(t for t in pot_inter.config.terms
                               if t not in slow_terms)
+            pot_fast = None
+            if (self.config.respa_polarization_rung == 'inner'
+                    and 'electrostatics' in mid_terms):
+                # polarization joins the fast rung: fast = monomer +
+                # electrostatics on one potential (the ASPC closure then
+                # advances at the base step), mid = the remaining
+                # intermolecular terms
+                mid_terms = tuple(t for t in mid_terms
+                                  if t != 'electrostatics')
+                fast_terms = ('one_body', 'electrostatics')
+                pot_fast = inherit_capacities(self.potential, MBPol(
+                    self.system,
+                    _dc.replace(pot_inter.config, terms=fast_terms),
+                    mesh=self.potential.mesh))
             if not slow_terms or not mid_terms:
                 raise ValueError(
                     f'respa_mid > 1 needs a non-trivial term split; got '
@@ -301,7 +331,8 @@ class Simulation:
             pot_slow = inherit_capacities(self.potential, MBPol(
                 self.system, _dc.replace(pot_inter.config, terms=slow_terms),
                 mesh=self.potential.mesh))
-            self._respa3 = (ef_intra, pot_mid, pot_slow, pot_inter)
+            self._respa3 = (ef_intra, pot_mid, pot_slow, pot_inter,
+                            pot_fast)
         return self._respa3
 
     def _one_step_respa(self, state, mu, f_slow, nlists=None, nl_carry=None):
@@ -352,27 +383,41 @@ class Simulation:
         on the middle rung, so its closure advances at dt/respa_mid.
         Returns (state', mu', f_mid', f_slow', health, nl_carry')."""
         cfg = self.config
-        ef_intra, pot_mid, pot_slow, _ = self._respa_split3()
+        ef_intra, pot_mid, pot_slow, _, pot_fast = self._respa_split3()
+        polar_inner = pot_fast is not None
         box = state.box if cfg.barostat_pressure is not None else None
 
         aux = [mu, jnp.ones((), bool), nl_carry]
+
+        def _aspc_mu0():
+            m = aux[0]
+            if m is None or not cfg.scf_warm_start:
+                return None
+            return jnp.einsum('h,hnd->nd', B, m) if B is not None else m
+
+        def _aspc_update(diag):
+            m = aux[0]
+            mu_new = diag.get('induced_dipoles')
+            if m is not None and mu_new is not None:
+                aux[0] = (jnp.roll(m, 1, axis=0).at[0].set(mu_new)
+                          if B is not None else mu_new)
+            aux[1] = aux[1] & self._health(diag)
 
         def ef_mid(p):
             nl = nlists
             if aux[2] is not None:
                 aux[2] = self._auto_rebuild(aux[2], p, box, pot=pot_mid)
                 nl = aux[2][0]
-            m = aux[0]
-            mu0 = None
-            if m is not None and cfg.scf_warm_start:
-                mu0 = (jnp.einsum('h,hnd->nd', B, m) if B is not None else m)
+            if polar_inner:
+                # no electrostatics on this rung; the ASPC history lives
+                # in ef_fast
+                e, f, parts, diag = pot_mid._energy_forces_impl(
+                    p, nlists=nl, box=box)
+                aux[1] = aux[1] & self._health(diag)
+                return e, f
             e, f, parts, diag = pot_mid._energy_forces_impl(
-                p, mu0, nlists=nl, box=box)
-            mu_new = diag.get('induced_dipoles')
-            if m is not None and mu_new is not None:
-                aux[0] = (jnp.roll(m, 1, axis=0).at[0].set(mu_new)
-                          if B is not None else mu_new)
-            aux[1] = aux[1] & self._health(diag)
+                p, _aspc_mu0(), nlists=nl, box=box)
+            _aspc_update(diag)
             return e, f
 
         def ef_slow(p):
@@ -384,8 +429,33 @@ class Simulation:
             aux[1] = aux[1] & self._health(diag)
             return e, f
 
-        def ef_fast(p):
-            return ef_intra(p, box)
+        if polar_inner:
+            # polarization on the base-step rung: the ASPC closure
+            # advances at dt/(respa_mid*respa_inner) - the single-step
+            # cadence whose drift is the measured +5-15 K/ns regime
+            # (respa_polarization_rung='inner'); requires the unrolled
+            # inner loop so this closure can thread its aux state.
+            # The integrator's FIRST ef_fast call each outer step re-
+            # evaluates at the previous step's final positions; pushing
+            # that evaluation into the dipole history would insert a
+            # zero-interval duplicate and corrupt the ASPC predictor's
+            # uniform-cadence assumption (measured: -21,000 K/ns with the
+            # duplicate vs the corrected cadence below) - so call #0
+            # evaluates with the predictor but does not advance it.
+            n_calls = [0]
+
+            def ef_fast(p):
+                e, f, parts, diag = pot_fast._energy_forces_impl(
+                    p, _aspc_mu0(), box=box)
+                if n_calls[0] > 0:
+                    _aspc_update(diag)
+                else:
+                    aux[1] = aux[1] & self._health(diag)
+                n_calls[0] += 1
+                return e, f
+        else:
+            def ef_fast(p):
+                return ef_intra(p, box)
 
         if cfg.temperature is not None and cfg.thermostat == 'langevin':
             raise NotImplementedError(
@@ -393,7 +463,8 @@ class Simulation:
                 'use the two-level respa_inner split with langevin')
         state, f_mid, f_slow, _ = I.respa3_velocity_verlet_step(
             self.system, ef_fast, ef_mid, ef_slow, state, f_mid, f_slow,
-            cfg.dt, cfg.respa_mid, cfg.respa_inner)
+            cfg.dt, cfg.respa_mid, cfg.respa_inner,
+            unroll_inner=polar_inner)
         if cfg.temperature is not None and cfg.thermostat == 'andersen':
             state = I.andersen_thermostat(self.system, state, cfg.dt,
                                           cfg.temperature,
@@ -458,12 +529,13 @@ class Simulation:
                 # the in-scan evaluations use (r3 advisor: mu[0] gave the
                 # carried forces a different dipole convention at every
                 # group boundary).
-                _, pot_mid, pot_slow, _ = self._respa_split3()
+                _, pot_mid, pot_slow, _, pot_fast3 = self._respa_split3()
                 mu_seed = (jnp.einsum('h,hnd->nd', B, mu)
                            if (aspc and mu is not None) else mu)
                 nl_arg = nlc[0] if auto_nl else nlists
                 _, f_mid, _, _ = pot_mid._energy_forces_impl(
-                    state.positions, mu_seed if warm else None,
+                    state.positions,
+                    (mu_seed if (warm and pot_fast3 is None) else None),
                     nlists=nl_arg, box=box)
                 _, f_slow, _, _ = pot_slow._energy_forces_impl(
                     state.positions, nlists=nl_arg, box=box)

@@ -172,6 +172,35 @@ def test_respa3_with_aspc_runs_and_conserves():
     assert drift < 0.1, (drift, m['total_energy'], e0)
 
 
+def test_respa3_polarization_on_inner_rung():
+    """respa_polarization_rung='inner': electrostatics joins the monomer
+    term on the base-step rung, so the ASPC history advances at the
+    single-step cadence (the measured low-drift regime) while 2b/disp
+    stay mid and 3B outer. Must conserve at least as well as the
+    mid-rung split on the same protocol, with all terms present."""
+    sys_, pos = fixtures.load_system('water3')
+    pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff', cutoff=0.9,
+                                  scf_method='aspc', aspc_k=2))
+    sim = Simulation(pot, SimulationConfig(
+        dt=0.0008, temperature=None, respa_inner=2, respa_mid=2,
+        respa_polarization_rung='inner'), seed=1)
+    sim.set_positions(pos)
+    sim.set_velocities_to_temperature(50.0)
+    m0 = sim.step(5)
+    e0 = m0['total_energy'][-1]
+    m = sim.step(60, report_interval=20)
+    drift = np.max(np.abs(m['total_energy'] - e0))
+    assert np.isfinite(m['total_energy']).all()
+    assert drift < 0.1, (drift, m['total_energy'], e0)
+    # the split potentials must cover every term exactly once
+    _, pot_mid, pot_slow, _, pot_fast = sim._respa_split3()
+    assert pot_fast is not None
+    covered = (set(pot_fast.config.terms) | set(pot_mid.config.terms)
+               | set(pot_slow.config.terms))
+    assert covered == set(pot.config.terms)
+    assert 'electrostatics' not in pot_mid.config.terms
+
+
 def test_respa3_rejects_trivial_split():
     import pytest
     sys_, pos = fixtures.load_system('water3')

@@ -42,6 +42,7 @@ def main():
     ap.add_argument('--eps-floor', type=float, default=None)
     ap.add_argument('--n-corr', type=int, default=1)
     ap.add_argument('--seg', type=int, default=500)
+    ap.add_argument('--polar-rung', default='mid', choices=['mid', 'inner'])
     a = ap.parse_args()
 
     import jax
@@ -72,6 +73,7 @@ def main():
     sim = Simulation(pot, SimulationConfig(
         dt=dt_outer, temperature=None, scf=a.scf,
         respa_inner=a.inner, respa_mid=a.mid,
+        respa_polarization_rung=a.polar_rung,
         nlist_rebuild_interval='auto'), seed=0)
     sim.set_positions(pos)
     sim.set_velocities_to_temperature(300.0)
@@ -92,6 +94,7 @@ def main():
     out = dict(variant=dict(mid=a.mid, inner=a.inner, scf=a.scf,
                             scf_method=a.scf_method, epsilon=a.epsilon,
                             eps_floor=a.eps_floor, n_corr=a.n_corr,
+                            polar_rung=a.polar_rung,
                             outer_steps=a.steps),
                window_ps=round(float(ts[-1] - ts[0]), 3),
                outer_steps_per_second=round(a.steps / elapsed, 1),
