@@ -558,8 +558,14 @@ def _remd_cluster_figure(n_replicas=8):
     sys_ = System.waters(14)
     pos = compute_virtual_sites(sys_, jnp.asarray(fix['positions'],
                                                   jnp.float32))
+    # Flat-bottom confinement (models/restraint.py): without it the 480 K
+    # top rung eventually evaporates the cluster into a NaN (observed r5,
+    # flow_stopped_early in BENCH preview) - the standard cluster-REMD
+    # recipe is a restraining sphere. 0.75 nm leaves the ~0.45 nm
+    # water14 cluster untouched at 300 K; only escaping monomers feel it.
     pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff',
-                                  target_epsilon=1e-3, max_iterations=200))
+                                  target_epsilon=1e-3, max_iterations=200,
+                                  restraint_radius=0.75, restraint_k=1000.0))
     n_blocks = int(os.environ.get('BENCH_REMD_CLUSTER_BLOCKS', 40))
     t_min = float(os.environ.get('BENCH_REMD_T_MIN', 180.0))
     t_max = float(os.environ.get('BENCH_REMD_T_MAX', 480.0))
@@ -610,11 +616,10 @@ def _remd_cluster_figure(n_replicas=8):
         try:
             out2 = _remd_extend(chunk)
         except RuntimeError as exc:
-            # the 480 K top rung eventually evaporates the water14
-            # cluster (physical for an unconfined cluster at this T;
-            # proper cluster REMD adds a restraining sphere - round-6
-            # item) and the health check raises on the NaN. Keep the
-            # flow statistics gathered so far and say why we stopped.
+            # safety net: with the restraining sphere above the hot rung
+            # can no longer evaporate the cluster (the r5-preview NaN);
+            # if the health check still raises, keep the flow statistics
+            # gathered so far and say why we stopped.
             flow_stopped = repr(exc)[:160]
             break
         walkers.append(np.asarray(out2['walker']))
@@ -768,7 +773,18 @@ def main():
                    # construction) is dropped for exactly that reason
                    peak_assumption='v5e: bf16 197 TFLOP/s; f32-HIGHEST '
                                    '= bf16/6; HBM 819 GB/s '
-                                   '(bytes pre-fusion upper bound)')
+                                   '(bytes pre-fusion upper bound)',
+                   # the 32.8 TFLOP/s 6-pass ceiling is NOT reachable at
+                   # the dominant matmul shape: the [23.8k,703]x[703,703]
+                   # HIGHEST matvec alone measures 1.633 ms = 44% MXU
+                   # utilization in isolation, and the whole 3B marginal
+                   # (1.755 ms) is within 1% of its matvec+gradient tail
+                   # (docs/DESIGN.md round-5 floor table) - the step runs
+                   # at ~70% of the chip's achievable ceiling for its
+                   # shape mix
+                   shape_achievable_note='dominant 703-col HIGHEST matvec '
+                                         'measures 44% MXU in isolation; '
+                                         'see DESIGN.md 3B floor table')
     except Exception as exc:          # accounting must never kill the bench
         mfu = dict(error=repr(exc)[:200])
 

@@ -127,6 +127,13 @@ class MBPolConfig:
     # MBPOL_PIP_BASIS env fallback, then the defaults.
     pip_impl: Optional[str] = None
     pip_basis: Optional[str] = None
+    # Flat-bottom spherical restraint about the instantaneous oxygen
+    # centroid (models/restraint.py): zero inside `restraint_radius` (nm),
+    # harmonic (k in kJ/mol/nm^2) outside. Cluster (NoCutoff) systems
+    # only - the role OpenMM's CustomExternalForce plays for the
+    # reference's cluster users; keeps hot REMD rungs from evaporating.
+    restraint_radius: Optional[float] = None
+    restraint_k: float = 1000.0
     terms: tuple = ('electrostatics', 'one_body', 'two_body', 'three_body', 'dispersion')
 
     @classmethod
@@ -224,6 +231,11 @@ class MBPol:
             raise ValueError(config.nonbonded_method)
         if config.nonbonded_method == 'PME' and not system.periodic:
             raise ValueError('PME requires a periodic box')
+        if config.restraint_radius is not None and system.periodic:
+            # the instantaneous-centroid restraint is ill-defined under
+            # PBC (molecules are imaged independently)
+            raise ValueError('restraint_radius is a cluster (non-periodic) '
+                             'feature')
         self.system = system
         self.config = config
         self.mesh = mesh
@@ -556,6 +568,11 @@ class MBPol:
                 parts['dispersion'] = dispersion_energy(
                     sys_, pos, cutoff=cfg.cutoff, box=box, mesh=self.mesh,
                     switch_width=sw)
+        if cfg.restraint_radius is not None:
+            from mbpol_openmm_plugin_tpu.models.restraint import \
+                flat_bottom_energy
+            parts['restraint'] = flat_bottom_energy(
+                pos[sys_.o_index], cfg.restraint_radius, cfg.restraint_k)
         return parts
 
     def _energy_forces_impl(self, positions, mu0=None, nlists=None, box=None):
