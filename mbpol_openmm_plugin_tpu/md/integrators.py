@@ -120,7 +120,8 @@ def respa_velocity_verlet_step(system: System, ef_fast, ef_slow,
 def respa3_velocity_verlet_step(system: System, ef_fast, ef_mid, ef_slow,
                                 state: MDState, f_mid, f_slow, dt,
                                 n_mid: int, n_inner: int,
-                                unroll_inner: bool = False):
+                                unroll_inner: bool = False,
+                                f_fast=None):
     """One three-level r-RESPA step (Tuckerman-Berne-Martyna splitting).
 
     The outer step `dt` kicks with the SLOWEST forces (by default the
@@ -138,14 +139,24 @@ def respa3_velocity_verlet_step(system: System, ef_fast, ef_mid, ef_slow,
 
     `f_mid`/`f_slow` must be those forces at state.positions (carried
     across steps: one slow + n_mid mid evaluations per outer step).
-    Returns (state', f_mid', f_slow', f_fast') with state'.forces the
-    total and potential_energy the full fast+mid+slow PE at the new
+    `f_fast`, when given, must likewise be the fast forces at
+    state.positions; carrying it is REQUIRED for a stateful ef_fast
+    (polarization on the inner rung): re-evaluating at the step boundary
+    with the ASPC *predictor* produces forces that differ from the
+    previous step's final half-kick (computed with the *corrected*
+    dipoles at the same positions), a per-outer-step force discontinuity
+    that destroys the splitting's time symmetry (measured r5:
+    +35,900 K/ns with the re-evaluation vs carried below). When None,
+    the fast forces are re-evaluated (exact for the stateless monomer
+    term). Returns (state', f_mid', f_slow', f_fast') with state'.forces
+    the total and potential_energy the full fast+mid+slow PE at the new
     positions."""
     inv_m = _inv_masses(system, state.positions.dtype)
     dtm = dt / n_mid
     dti = dtm / n_inner
     v = state.velocities + 0.5 * dt * f_slow * inv_m
-    _, f_fast = ef_fast(state.positions)
+    if f_fast is None:
+        _, f_fast = ef_fast(state.positions)
     pos = state.positions
 
     def inner(c, _):

@@ -166,7 +166,15 @@ class Simulation:
             # (~5% mid-rung cost); single-step keeps n_corr from the
             # potential config (the +5-15 K/ns regime needs no extra).
             n_corr = None
-            if self.config.respa_mid > 1:
+            if (self.config.respa_mid > 1
+                    and self.config.respa_polarization_rung != 'inner'):
+                # mid-rung polarization only: at the MID cadence the
+                # deeper corrector is what keeps the closure drift in
+                # check. With respa_polarization_rung='inner' the ASPC
+                # closure advances at the base step - the single-step
+                # regime, where the potential's configured depth already
+                # suffices and the extra corrector would cost ~33% of
+                # every fast-rung evaluation.
                 n_corr = max(getattr(potential.config, 'aspc_n_corr', 1), 2)
             self.potential = with_scf_method(potential, 'aspc',
                                              aspc_n_corr=n_corr)
@@ -374,14 +382,18 @@ class Simulation:
         return state, aux[0], f_slow, aux[1], aux[2]
 
     def _one_step_respa3(self, state, mu, f_mid, f_slow, nlists=None,
-                         nl_carry=None, B=None):
+                         nl_carry=None, B=None, f_fast=None):
         """One three-level r-RESPA outer step (respa_mid middle sub-steps,
         respa_inner monomer steps each). mu is the ASPC dipole-history
         stack [h, natoms, 3] when B (predictor coefficients) is given,
         else plain warm-start dipoles (or None); the predictor/corrector
         update runs INSIDE each middle evaluation - the polarization lives
         on the middle rung, so its closure advances at dt/respa_mid.
-        Returns (state', mu', f_mid', f_slow', health, nl_carry')."""
+        With respa_polarization_rung='inner' the fast rung is stateful
+        (ASPC history advances per base step) and `f_fast` must be the
+        carried fast forces at state.positions.
+        Returns (state', mu', f_mid', f_slow', health, nl_carry',
+        f_fast')."""
         cfg = self.config
         ef_intra, pot_mid, pot_slow, _, pot_fast = self._respa_split3()
         polar_inner = pot_fast is not None
@@ -435,25 +447,32 @@ class Simulation:
             # cadence whose drift is the measured +5-15 K/ns regime
             # (respa_polarization_rung='inner'); requires the unrolled
             # inner loop so this closure can thread its aux state.
-            # The integrator's FIRST ef_fast call each outer step re-
-            # evaluates at the previous step's final positions; pushing
-            # that evaluation into the dipole history would insert a
-            # zero-interval duplicate and corrupt the ASPC predictor's
-            # uniform-cadence assumption (measured: -21,000 K/ns with the
-            # duplicate vs the corrected cadence below) - so call #0
-            # evaluates with the predictor but does not advance it.
-            n_calls = [0]
+            # The fast forces are CARRIED across outer steps (f_fast):
+            # re-evaluating at the step boundary with the ASPC predictor
+            # yields forces that differ from the previous final half-kick
+            # (corrected dipoles, same positions) - a per-outer-step
+            # force discontinuity measured at +35,900 K/ns
+            # (artifacts/respa_inner_r05.jsonl, the pre-carry run). With
+            # the carry, every ef_fast call is an inner-loop evaluation
+            # at a fresh position and advances the history - uniform
+            # dti cadence, no duplicates. A group-boundary seed (no
+            # history advance) is computed in scan_group; None here
+            # (direct callers without a carry) falls back to one seed
+            # evaluation that must not advance the history either.
+            seeded = [f_fast is not None]
 
             def ef_fast(p):
                 e, f, parts, diag = pot_fast._energy_forces_impl(
                     p, _aspc_mu0(), box=box)
-                if n_calls[0] > 0:
+                if seeded[0]:
                     _aspc_update(diag)
                 else:
                     aux[1] = aux[1] & self._health(diag)
-                n_calls[0] += 1
+                seeded[0] = True
                 return e, f
         else:
+            f_fast = None  # stateless monomer term: re-evaluation is exact
+
             def ef_fast(p):
                 return ef_intra(p, box)
 
@@ -461,16 +480,17 @@ class Simulation:
             raise NotImplementedError(
                 'respa_mid > 1 supports velocity-Verlet (+ Andersen) only; '
                 'use the two-level respa_inner split with langevin')
-        state, f_mid, f_slow, _ = I.respa3_velocity_verlet_step(
+        state, f_mid, f_slow, f_fast_out = I.respa3_velocity_verlet_step(
             self.system, ef_fast, ef_mid, ef_slow, state, f_mid, f_slow,
             cfg.dt, cfg.respa_mid, cfg.respa_inner,
-            unroll_inner=polar_inner)
+            unroll_inner=polar_inner, f_fast=f_fast)
         if cfg.temperature is not None and cfg.thermostat == 'andersen':
             state = I.andersen_thermostat(self.system, state, cfg.dt,
                                           cfg.temperature,
                                           cfg.collision_frequency)
         state = self._maybe_remove_cm(state)
-        return state, aux[0], f_mid, f_slow, aux[1], aux[2]
+        return (state, aux[0], f_mid, f_slow, aux[1], aux[2],
+                f_fast_out if polar_inner else None)
 
     def _step_chunk_impl(self, state, baro, n_steps):
         cfg = self.config
@@ -522,6 +542,7 @@ class Simulation:
 
             f_slow = None
             f_mid = None
+            f_fast = None
             if respa3:
                 # mid + slow forces at the group's entry positions (also
                 # refreshed after a barostat volume move rescaled everything).
@@ -539,6 +560,15 @@ class Simulation:
                     nlists=nl_arg, box=box)
                 _, f_slow, _, _ = pot_slow._energy_forces_impl(
                     state.positions, nlists=nl_arg, box=box)
+                if pot_fast3 is not None:
+                    # inner-rung polarization: seed the carried fast
+                    # forces with the SAME predictor convention as the
+                    # in-scan evaluations; the seed does NOT advance the
+                    # dipole history (it is at the same position as the
+                    # previous group's last inner evaluation)
+                    _, f_fast, _, _ = pot_fast3._energy_forces_impl(
+                        state.positions, mu_seed if warm else None,
+                        box=box)
             elif respa:
                 # slow forces at the group's entry positions (also refreshes
                 # them after a barostat volume move rescaled everything);
@@ -558,13 +588,16 @@ class Simulation:
                 # while_loop or an extra reduction breaks overlap). The
                 # unused health value below is dead-code-eliminated by XLA;
                 # health is instead checked at report boundaries (step()).
-                s, m, fm, fs, nc = carry
+                s, m, fm, fs, nc, ff = carry
                 if respa3:
                     # the ASPC predictor/corrector runs inside each middle
                     # evaluation (_one_step_respa3), so the history carry
-                    # updates respa_mid times per outer step
-                    s, m, fm, fs, _ok, nc = self._one_step_respa3(
-                        s, m, fm, fs, nlists, nc, B=B if aspc else None)
+                    # updates respa_mid times per outer step; with
+                    # polarization on the inner rung it updates per base
+                    # step and the fast forces ride the carry (ff)
+                    s, m, fm, fs, _ok, nc, ff = self._one_step_respa3(
+                        s, m, fm, fs, nlists, nc, B=B if aspc else None,
+                        f_fast=ff)
                 elif aspc:
                     mu0 = jnp.einsum('h,hnd->nd', B, m)
                     if respa:
@@ -581,10 +614,11 @@ class Simulation:
                 else:
                     s, mu_new, _ok, nc = self._one_step(s, m, nlists, nc)
                     m = mu_new if warm else None
-                return (s, m, fm, fs, nc), s.potential_energy
+                return (s, m, fm, fs, nc, ff), s.potential_energy
 
-            (state, mu, _, _, nlc_out), pes = jax.lax.scan(
-                body, (state, mu, f_mid, f_slow, nlc), None, length=n)
+            (state, mu, _, _, nlc_out, _), pes = jax.lax.scan(
+                body, (state, mu, f_mid, f_slow, nlc, f_fast), None,
+                length=n)
             ovf = nlc_out[2] if auto_nl else ovf0
             return state, mu, pes, ovf
 
