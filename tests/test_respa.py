@@ -201,6 +201,78 @@ def test_respa3_polarization_on_inner_rung():
     assert 'electrostatics' not in pot_mid.config.terms
 
 
+def test_respa3_carried_fast_forces_skip_boundary_reeval():
+    """With `f_fast` supplied, respa3_velocity_verlet_step must NOT
+    re-evaluate the fast rung at the step boundary: the re-evaluation is
+    what injected the per-outer-step force discontinuity when the fast
+    rung is stateful (ASPC predictor vs previous corrected dipoles -
+    measured +35,900 K/ns on chip, artifacts/respa_inner_r05.jsonl), and
+    with a carry every ef_fast call must be an inner-loop evaluation at
+    a fresh position (exactly n_mid*n_inner calls). For a stateless
+    ef_fast the carried step must also be bitwise identical to the
+    re-evaluating one."""
+    sys_, pos = fixtures.load_system('water3')
+    pos = jnp.asarray(pos)
+    calls = [0]
+
+    def ef_fast(p):
+        calls[0] += 1
+        return jnp.sum(p * p), -2.0 * p
+
+    def ef_mid(p):
+        return jnp.sum(p[:, 0]), 0.1 * jnp.ones_like(p)
+
+    def ef_slow(p):
+        return jnp.sum(p[:, 1]), -0.05 * jnp.ones_like(p)
+
+    key = jax.random.PRNGKey(0)
+    v0 = I.maxwell_boltzmann_velocities(sys_, 50.0, key, pos.dtype)
+    _, f_fast0 = ef_fast(pos)
+    _, f_mid0 = ef_mid(pos)
+    _, f_slow0 = ef_slow(pos)
+    state = I.MDState(positions=pos, velocities=v0, forces=f_fast0,
+                      potential_energy=jnp.zeros((), pos.dtype),
+                      box=jnp.zeros(3, pos.dtype),
+                      step=jnp.zeros((), jnp.int32), rng=key)
+    n_mid, n_inner = 3, 2
+
+    calls[0] = 0
+    s_a, _, _, ff_a = I.respa3_velocity_verlet_step(
+        sys_, ef_fast, ef_mid, ef_slow, state, f_mid0, f_slow0,
+        0.0012, n_mid, n_inner, unroll_inner=True, f_fast=f_fast0)
+    assert calls[0] == n_mid * n_inner, calls[0]
+
+    calls[0] = 0
+    s_b, _, _, ff_b = I.respa3_velocity_verlet_step(
+        sys_, ef_fast, ef_mid, ef_slow, state, f_mid0, f_slow0,
+        0.0012, n_mid, n_inner, unroll_inner=True, f_fast=None)
+    assert calls[0] == n_mid * n_inner + 1, calls[0]
+
+    np.testing.assert_array_equal(np.asarray(s_a.positions),
+                                  np.asarray(s_b.positions))
+    np.testing.assert_array_equal(np.asarray(s_a.velocities),
+                                  np.asarray(s_b.velocities))
+    np.testing.assert_array_equal(np.asarray(ff_a), np.asarray(ff_b))
+
+
+def test_respa3_inner_rung_keeps_configured_aspc_depth():
+    """The RESPA n_corr>=2 auto-deepening applies to the MID-cadence
+    closure only; with respa_polarization_rung='inner' the closure runs
+    at the base step (the single-step regime) and the potential's
+    configured corrector depth must be kept - the extra corrector would
+    cost ~33% of every fast-rung evaluation for nothing."""
+    sys_, pos = fixtures.load_system('water3')
+    for rung, expect in (('inner', 1), ('mid', 2)):
+        pot = MBPol(sys_, MBPolConfig(nonbonded_method='NoCutoff',
+                                      cutoff=0.9, scf_method='sor'))
+        sim = Simulation(pot, SimulationConfig(
+            dt=0.0008, temperature=None, respa_inner=2, respa_mid=2,
+            respa_polarization_rung=rung), seed=1)
+        assert sim.potential.config.scf_method == 'aspc'
+        assert sim.potential.config.aspc_n_corr == expect, (
+            rung, sim.potential.config.aspc_n_corr)
+
+
 def test_respa3_rejects_trivial_split():
     import pytest
     sys_, pos = fixtures.load_system('water3')

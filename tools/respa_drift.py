@@ -5,8 +5,12 @@ After the round-5 conservation fixes the single-step ASPC path holds
 water256 f32 NVE to +5-15 K/ns, but the three-level r-RESPA point
 (mid=3, inner=2, ASPC closure on the middle rung) still drifts at
 ~-1500 K/ns over 10 ps (BENCH r05) - DISSIPATIVE, the signature of
-dipole-closure lag rather than impulse-MTS noise. This harness measures
-drift per variant:
+dipole-closure lag rather than impulse-MTS noise. The measured ladder
+lives in artifacts/respa_drift_r05.jsonl (mid-rung arms) and
+artifacts/respa_inner_r05.jsonl (--polar-rung inner: -99 to -182 K/ns
+after the f_fast-carry fix, at the ladder's 1.2 fs impulse-noise
+floor); analysis in docs/DESIGN.md. This harness measures drift per
+variant:
 
   --scf keep|auto       'keep' runs the potential's own SCF (converged
                         loop) on the middle rung; 'auto' derives ASPC
